@@ -1,0 +1,309 @@
+"""Typed experiment configuration.
+
+Replaces the reference's YAML -> flat dict -> tf.contrib HParams pipeline
+(reference: reco_utils/recommender/deeprec/deeprec_utils.py:25-534) with a
+single frozen dataclass.  Semantics preserved:
+
+  * YAML files are sectioned (data/model/train/info) and flattened
+    (deeprec_utils.py:25-39 `flat_config`).
+  * Keyword overrides win over YAML values (deeprec_utils.py:514-534
+    `prepare_hparams`).
+  * Defaults mirror `create_hparams` (deeprec_utils.py:327-510) for every key
+    on the sequential-model path.
+  * Per-model required-key validation mirrors `check_nn_config`
+    (deeprec_utils.py:138-305), with type checking like `check_type`
+    (deeprec_utils.py:42-135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+
+def _flatten_yaml(loaded: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten a sectioned config: {section: {k: v}} -> {k: v}.
+
+    Mirrors reference `flat_config` (deeprec_utils.py:25-39): section names
+    are dropped, keys collide last-wins.
+    """
+    flat: Dict[str, Any] = {}
+    for _, section in (loaded or {}).items():
+        if isinstance(section, dict):
+            flat.update(section)
+    return flat
+
+
+# Fields that must be int / float / str / list when present, mirroring
+# reference `check_type` (deeprec_utils.py:42-135).
+_INT_FIELDS = frozenset({
+    "epochs", "batch_size", "show_step", "save_epoch", "train_num_ngs",
+    "max_seq_length", "hidden_size", "attention_size", "item_embedding_dim",
+    "cate_embedding_dim", "user_embedding_dim", "contrastive_length_threshold",
+    "contrastive_recent_k", "counterfactual_recent_k", "min_seq_length",
+    "early_stop", "kernel_size", "L", "T", "n_v", "n_h",
+})
+_FLOAT_FIELDS = frozenset({
+    "init_value", "learning_rate", "embed_l2", "embed_l1", "layer_l2",
+    "layer_l1", "cross_l2", "cross_l1", "attn_loss_weight", "triplet_margin",
+    "discrepancy_loss_weight", "contrastive_loss_weight", "manual_alpha_value",
+    "embedding_dropout", "max_grad_norm",
+})
+_STR_FIELDS = frozenset({
+    "method", "loss", "optimizer", "init_method", "model_type",
+    "sequential_model", "contrastive_loss", "time_unit", "user_vocab",
+    "item_vocab", "cate_vocab",
+})
+_LIST_FIELDS = frozenset({
+    "layer_sizes", "att_fcn_layer_sizes", "activation", "dropout",
+    "pairwise_metrics", "weighted_metrics", "metrics", "dilations",
+    "ncf_layer_sizes",
+})
+
+# Required keys per model family, mirroring check_nn_config's per-model sets
+# (deeprec_utils.py:138-305; CLSR set at :245-262).
+_REQUIRED_BY_MODEL: Dict[str, Tuple[str, ...]] = {
+    "clsr": (
+        "item_embedding_dim", "cate_embedding_dim", "user_embedding_dim",
+        "max_seq_length", "loss", "method", "user_vocab", "item_vocab",
+        "cate_vocab", "hidden_size", "att_fcn_layer_sizes",
+        "contrastive_length_threshold", "contrastive_recent_k",
+    ),
+    "sli_rec": (
+        "item_embedding_dim", "cate_embedding_dim", "max_seq_length", "loss",
+        "method", "user_vocab", "item_vocab", "cate_vocab", "hidden_size",
+        "att_fcn_layer_sizes",
+    ),
+    "gru4rec": (
+        "item_embedding_dim", "cate_embedding_dim", "max_seq_length", "loss",
+        "method", "user_vocab", "item_vocab", "cate_vocab", "hidden_size",
+    ),
+    "caser": (
+        "item_embedding_dim", "cate_embedding_dim", "max_seq_length", "loss",
+        "method", "user_vocab", "item_vocab", "cate_vocab", "L", "T", "n_v",
+        "n_h",
+    ),
+    "asvd": (
+        "item_embedding_dim", "cate_embedding_dim", "max_seq_length", "loss",
+        "method", "user_vocab", "item_vocab", "cate_vocab",
+    ),
+    "din": (
+        "item_embedding_dim", "cate_embedding_dim", "max_seq_length", "loss",
+        "method", "user_vocab", "item_vocab", "cate_vocab",
+        "att_fcn_layer_sizes",
+    ),
+    "dien": (
+        "item_embedding_dim", "cate_embedding_dim", "max_seq_length", "loss",
+        "method", "user_vocab", "item_vocab", "cate_vocab", "hidden_size",
+    ),
+    "ncf": (
+        "item_embedding_dim", "cate_embedding_dim", "user_embedding_dim",
+        "max_seq_length", "loss", "method", "user_vocab", "item_vocab",
+        "cate_vocab",
+    ),
+    "nextitnet": (
+        "item_embedding_dim", "cate_embedding_dim", "max_seq_length", "loss",
+        "method", "user_vocab", "item_vocab", "cate_vocab", "dilations",
+        "kernel_size",
+    ),
+    "lgn": (
+        "item_embedding_dim", "cate_embedding_dim", "user_embedding_dim",
+        "max_seq_length", "loss", "method", "user_vocab", "item_vocab",
+        "cate_vocab",
+    ),
+}
+
+
+@dataclass(frozen=True)
+class Config:
+    """All hyperparameters for data, model, training and evaluation.
+
+    Defaults mirror the reference's `create_hparams` defaults
+    (deeprec_utils.py:327-510) plus the quick-start driver's flag defaults
+    (examples/00_quick_start/sequential.py:36-68) where they always override
+    (e.g. `train_num_ngs`).
+    """
+
+    # --- data -------------------------------------------------------------
+    user_vocab: Optional[str] = None
+    item_vocab: Optional[str] = None
+    cate_vocab: Optional[str] = None
+    time_unit: str = "s"               # 's' (taobao) or 'ms' (kuaishou)
+
+    # --- model ------------------------------------------------------------
+    model_type: str = "clsr"
+    method: str = "classification"
+    layer_sizes: Tuple[int, ...] = (100, 64)
+    att_fcn_layer_sizes: Tuple[int, ...] = (80, 40)
+    activation: Tuple[str, ...] = ("relu", "relu")
+    user_dropout: bool = False
+    dropout: Tuple[float, ...] = (0.0, 0.0)
+    embedding_dropout: float = 0.0
+    item_embedding_dim: int = 32
+    cate_embedding_dim: int = 8
+    user_embedding_dim: int = 40
+    hidden_size: int = 40
+    attention_size: int = 40
+    max_seq_length: int = 50
+    min_seq_length: int = 1
+    enable_bn: bool = True
+
+    # CLSR-specific (reference clsr.py + sequential.py flags)
+    sequential_model: str = "time4lstm"   # 'gru' | 'lstm' | 'time4lstm'
+    interest_evolve: bool = True
+    predict_long_short: bool = True
+    manual_alpha: bool = False
+    manual_alpha_value: float = 0.5
+    contrastive_loss: str = "triplet"     # 'bpr' | 'triplet'
+    triplet_margin: float = 1.0
+    contrastive_loss_weight: float = 0.1
+    discrepancy_loss_weight: float = 0.01
+    contrastive_length_threshold: int = 5
+    contrastive_recent_k: int = 3
+    attn_loss_weight: float = 0.001
+    counterfactual_recent_k: int = 5
+
+    # Caser
+    L: int = 3
+    T: int = 1
+    n_v: int = 128
+    n_h: int = 128
+    # NextItNet
+    dilations: Tuple[int, ...] = (1, 2, 4, 1, 2, 4)
+    kernel_size: int = 3
+    # NCF
+    ncf_layer_sizes: Tuple[int, ...] = (80, 40)
+    # LightGCN-style (lgn)
+    n_layers: int = 2
+
+    # --- train ------------------------------------------------------------
+    init_method: str = "tnormal"
+    init_value: float = 0.01
+    embed_l2: float = 1e-6
+    embed_l1: float = 0.0
+    layer_l2: float = 1e-6
+    layer_l1: float = 0.0
+    learning_rate: float = 0.001
+    loss: str = "softmax"   # softmax | cross_entropy_loss | square_loss | log_loss
+    optimizer: str = "adam"
+    epochs: int = 100
+    batch_size: int = 500
+    is_clip_norm: bool = True
+    max_grad_norm: float = 2.0
+    need_sample: bool = True
+    train_num_ngs: int = 4
+    valid_num_ngs: int = 4
+    test_num_ngs: int = 99
+    early_stop: int = 5
+    eval_metric: str = "wauc"
+    seed: Optional[int] = None
+
+    # --- info / io ---------------------------------------------------------
+    show_step: int = 500
+    save_model: bool = True
+    save_epoch: int = 1
+    model_dir: Optional[str] = None
+    summaries_dir: Optional[str] = None
+    write_tfevents: bool = False
+    metrics: Tuple[str, ...] = ("auc", "logloss")
+    pairwise_metrics: Tuple[str, ...] = ("mean_mrr", "ndcg@2;4;6", "hit@2;4;6", "group_auc")
+    weighted_metrics: Tuple[str, ...] = ("wauc",)
+
+    # --- TPU-native execution (no reference equivalent) --------------------
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    data_parallel: int = 1          # mesh axis 'data'
+    model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)
+    prefetch_batches: int = 2
+    drop_remainder_min: int = 5     # reference drops train batches <5 rows
+                                    # (sequential_iterator.py:338-339)
+
+    # ------------------------------------------------------------------ api
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    @property
+    def target_dim(self) -> int:
+        """Dim of target_item_embedding = concat(item, cate) per
+        sequential_base_model.py:435-437."""
+        return self.item_embedding_dim + self.cate_embedding_dim
+
+    def validate(self) -> "Config":
+        """Fail fast on missing/mistyped fields, like check_nn_config."""
+        model = self.model_type.lower()
+        required = _REQUIRED_BY_MODEL.get(model, _REQUIRED_BY_MODEL["gru4rec"])
+        flat = dataclasses.asdict(self)
+        for key in required:
+            if flat.get(key) is None:
+                raise ValueError(
+                    f"Parameter {key} must be set for model {model}"
+                )
+        for key, val in flat.items():
+            if val is None:
+                continue
+            if key in _INT_FIELDS and not isinstance(val, int):
+                raise TypeError(f"Parameter {key} must be int, got {type(val)}")
+            if key in _FLOAT_FIELDS and not isinstance(val, (int, float)):
+                raise TypeError(f"Parameter {key} must be float, got {type(val)}")
+            if key in _STR_FIELDS and not isinstance(val, str):
+                raise TypeError(f"Parameter {key} must be str, got {type(val)}")
+            if key in _LIST_FIELDS and not isinstance(val, (list, tuple)):
+                raise TypeError(f"Parameter {key} must be a sequence, got {type(val)}")
+        if self.method not in ("classification", "regression"):
+            raise ValueError(f"method must be classification or regression, got {self.method}")
+        if self.loss not in ("softmax", "cross_entropy_loss", "square_loss", "log_loss"):
+            raise ValueError(f"loss not defined: {self.loss}")
+        if self.contrastive_loss not in ("bpr", "triplet"):
+            raise ValueError(f"contrastive_loss must be bpr or triplet, got {self.contrastive_loss}")
+        if self.sequential_model not in ("gru", "lstm", "time4lstm"):
+            raise ValueError(f"sequential_model not defined: {self.sequential_model}")
+        return self
+
+
+# YAML keys (reference spelling) -> Config field names.
+_KEY_ALIASES = {
+    "EARLY_STOP": "early_stop",
+    "MODEL_DIR": "model_dir",
+    "SUMMARIES_DIR": "summaries_dir",
+    "enable_BN": "enable_bn",
+}
+
+_SEQ_FIELDS = {
+    f.name for f in dataclasses.fields(Config)
+    if f.name in _LIST_FIELDS or f.name in ("dilations",)
+}
+
+
+def _coerce(key: str, value: Any) -> Any:
+    if key in _SEQ_FIELDS and isinstance(value, list):
+        return tuple(value)
+    if key == "is_clip_norm":
+        return bool(value)
+    return value
+
+
+def load_config(yaml_file: Optional[str] = None, **overrides) -> Config:
+    """Build a validated Config from an optional YAML file plus overrides.
+
+    Mirrors reference `prepare_hparams` (deeprec_utils.py:514-534): YAML
+    values first, keyword overrides win, then validation.
+    """
+    flat: Dict[str, Any] = {}
+    if yaml_file is not None:
+        with open(yaml_file, "r") as f:
+            loaded = yaml.safe_load(f)
+        flat.update(_flatten_yaml(loaded))
+    flat.update(overrides)
+
+    known = {f.name for f in dataclasses.fields(Config)}
+    kwargs: Dict[str, Any] = {}
+    for key, value in flat.items():
+        name = _KEY_ALIASES.get(key, key)
+        if name in known:
+            kwargs[name] = _coerce(name, value)
+        # Unknown keys are ignored, like HParams construction which only
+        # reads whitelisted keys (deeprec_utils.py:327-510).
+    return Config(**kwargs).validate()
