@@ -1,0 +1,109 @@
+"""Synthetic dataset generation in the reference's file format.
+
+Produces train/valid/test TSVs + vocab pickles shaped exactly like the
+output of the reference ETL (sequential_reviews.py:27-74): expanding-history
+train lines (label 1 only, in-batch negatives at train time) and offline
+popularity-sampled negatives for valid/test (1 positive followed by
+`num_ngs` negative lines per impression, each sharing the positive's user &
+history, with the negative item's true category substituted —
+sequential_reviews.py:147-199).
+
+Used by tests, the e2e training smoke runs, and bench.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from clsr_tpu.data.vocab import Vocab
+
+
+def make_synthetic_events(n_users: int = 50, n_items: int = 200,
+                          n_cates: int = 20, max_events: int = 30,
+                          seed: int = 0):
+    """Per-user chronological event streams with Zipf-ish item popularity."""
+    rng = np.random.RandomState(seed)
+    item_pop = 1.0 / np.arange(1, n_items + 1) ** 0.8
+    item_pop /= item_pop.sum()
+    item2cate = rng.randint(1, n_cates + 1, size=n_items)
+
+    events = {}
+    t0 = 1_500_000_000
+    for u in range(1, n_users + 1):
+        n_ev = rng.randint(5, max_events + 1)
+        items = rng.choice(n_items, size=n_ev, p=item_pop) + 1
+        times = np.sort(t0 + rng.randint(0, 9 * 24 * 3600, size=n_ev))
+        events[u] = (items, times)
+    return events, item2cate
+
+
+def write_synthetic_dataset(out_dir: str, n_users: int = 50,
+                            n_items: int = 200, n_cates: int = 20,
+                            valid_num_ngs: int = 4, test_num_ngs: int = 9,
+                            seed: int = 0) -> Dict[str, str]:
+    """Write train/valid/test TSVs + vocab pickles; returns paths dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed + 1)
+    events, item2cate = make_synthetic_events(n_users, n_items, n_cates,
+                                              seed=seed)
+
+    user_vocab = Vocab({"default_user": 0,
+                        **{f"u{u}": u for u in range(1, n_users + 1)}})
+    item_vocab = Vocab({"default_item": 0,
+                        **{f"i{i}": i for i in range(1, n_items + 1)}})
+    cate_vocab = Vocab({"default_cate": 0,
+                        **{f"c{c}": c for c in range(1, n_cates + 1)}})
+
+    # global popularity list for negative sampling (uniform over interactions
+    # == popularity-proportional, like _negative_sampling_offline)
+    all_interactions: List[int] = []
+    for items, _ in events.values():
+        all_interactions.extend(items.tolist())
+    all_interactions = np.asarray(all_interactions)
+
+    def line(label, u, it, ts, hist_items, hist_times) -> str:
+        hist_cates = [item2cate[i - 1] for i in hist_items]
+        return "\t".join([
+            str(label), f"u{u}", f"i{it}", f"c{item2cate[it - 1]}", str(ts),
+            ",".join(f"i{i}" for i in hist_items),
+            ",".join(f"c{c}" for c in hist_cates),
+            ",".join(str(t) for t in hist_times),
+        ])
+
+    train_lines, valid_lines, test_lines = [], [], []
+    for u, (items, times) in events.items():
+        n_ev = len(items)
+        # last event -> test, second-to-last -> valid, rest -> train
+        # (global-time split approximated per user for compactness)
+        for k in range(1, n_ev):
+            hist_items, hist_times = items[:k], times[:k]
+            target, ts = int(items[k]), int(times[k])
+            if k == n_ev - 1:
+                dest, num_ngs = test_lines, test_num_ngs
+            elif k == n_ev - 2:
+                dest, num_ngs = valid_lines, valid_num_ngs
+            else:
+                dest, num_ngs = train_lines, 0
+            dest.append(line(1, u, target, ts, hist_items, hist_times))
+            for _ in range(num_ngs):
+                neg = int(rng.choice(all_interactions))
+                while neg == target:
+                    neg = int(rng.choice(all_interactions))
+                dest.append(line(0, u, neg, ts, hist_items, hist_times))
+
+    paths = {}
+    for name, lines in [("train", train_lines), ("valid", valid_lines),
+                        ("test", test_lines)]:
+        p = os.path.join(out_dir, f"{name}_data")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        paths[name] = p
+    for name, vocab in [("user", user_vocab), ("item", item_vocab),
+                        ("cate", cate_vocab)]:
+        p = os.path.join(out_dir, f"{name}_vocab.pkl")
+        vocab.save(p)
+        paths[f"{name}_vocab"] = p
+    return paths
