@@ -1,0 +1,92 @@
+"""Attention primitives.
+
+`TargetAttention` reimplements `_attention_fcn` (clsr.py:343-381, shared by
+SLI-Rec/DIN/DIEN): keys are projected to the query's width, the interaction
+features [k, q, k-q, k*q] feed an MLP scorer, padded positions are masked
+with -(2^32)+1 before softmax, and the weighted sum over keys is returned.
+
+Grouped-target extension (TPU-native): the query may be [B, G, Dq] — one
+history scored against G candidate targets in a single pass.  The key
+projection (the only [B, L] matmul) is query-independent and computed once;
+only the tiny scorer MLP fans out over G.
+
+`SoftAttention` reimplements `_attention` (base_model.py:595-625): a learned
+global query vector, softmax over ALL positions (the reference applies no
+mask here — quirk preserved), returns the weighted sequence.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from clsr_tpu.ops.mlp import FcnNet
+
+MASK_PADDING_VALUE = -(2.0 ** 32) + 1  # clsr.py:375
+
+
+class TargetAttention(nn.Module):
+    """Query-conditioned attention over a masked history."""
+
+    layer_sizes: Sequence[int]
+    activations: Sequence[str]
+    enable_bn: bool = False
+    kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(stddev=0.01)
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
+                 mask: jnp.ndarray, train: bool = False,
+                 return_weights: bool = False):
+        """query [B, Dq] or [B, G, Dq]; keys [B, L, Dk]; mask [B, L].
+
+        Returns att_fea [B, Dk] or [B, G, Dk] (+ weights if requested).
+        """
+        squeeze_group = query.ndim == 2
+        if squeeze_group:
+            query = query[:, None, :]
+        B, G, Dq = query.shape
+        _, L, Dk = keys.shape
+
+        W = self.param("attention_mat", self.kernel_init, (Dk, Dq))
+        att_inputs = jnp.einsum("bld,dq->blq", keys, W)        # [B, L, Dq]
+
+        ai = att_inputs[:, None, :, :]                          # [B,1,L,Dq]
+        q = query[:, :, None, :]                                # [B,G,1,Dq]
+        ai_b = jnp.broadcast_to(ai, (B, G, L, Dq))
+        q_b = jnp.broadcast_to(q, (B, G, L, Dq))
+        feats = jnp.concatenate(
+            [ai_b, q_b, ai_b - q_b, ai_b * q_b], axis=-1)       # [B,G,L,4Dq]
+
+        logits = FcnNet(self.layer_sizes, self.activations,
+                        enable_bn=self.enable_bn, out_dim=1,
+                        kernel_init=self.kernel_init,
+                        name="att_fcn")(feats, train=train)[..., 0]  # [B,G,L]
+
+        masked = jnp.where(mask[:, None, :] > 0, logits, MASK_PADDING_VALUE)
+        weights = jax.nn.softmax(masked, axis=-1)               # [B,G,L]
+        att_fea = jnp.einsum("bgl,bld->bgd", weights, keys)     # [B,G,Dk]
+
+        if squeeze_group:
+            att_fea, weights = att_fea[:, 0], weights[:, 0]
+        return (att_fea, weights) if return_weights else att_fea
+
+
+class SoftAttention(nn.Module):
+    """Global-query soft attention (A2SVD path, base_model.py:595-625)."""
+
+    attention_size: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(stddev=0.01)
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs [B, L, D] -> weighted sequence [B, L, D]."""
+        D = inputs.shape[-1]
+        W = self.param("attention_mat", self.kernel_init, (D, D))
+        q = self.param("query", self.kernel_init, (self.attention_size,))
+        att_inputs = jnp.einsum("bld,dh->blh", inputs, W)
+        logits = jnp.einsum("blh,h->bl", att_inputs, q)
+        weights = jax.nn.softmax(logits, axis=-1)  # no mask — reference quirk
+        return inputs * weights[..., None]

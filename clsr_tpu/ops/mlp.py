@@ -1,0 +1,90 @@
+"""MLP head and activations.
+
+`FcnNet` mirrors the reference `_fcn_net` (base_model.py:627-708): a stack
+of Dense layers with optional BatchNorm (momentum 0.95, epsilon 1e-4 —
+base_model.py:673-679) and per-layer activation, followed by a final
+Dense(out_dim) projection with no BN/activation ("w_nn_output").  With
+`out_dim=None` it matches `_fcn_transform_net` (clsr.py:279-341, no final
+projection).
+
+`Dice` is the data-adaptive activation (deeprec_utils.py:838-860): always
+normalizes with the *current batch's* statistics (the reference implements
+only the train-mode branch), std = sqrt(mean((x-mean)^2 + eps)), normed =
+(x-mean)/(std+eps).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Dice(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        eps = 1e-9
+        alphas = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        std = jnp.sqrt(jnp.mean(jnp.square(x - mean) + eps, axis=axes,
+                                keepdims=True))
+        x_normed = (x - mean) / (std + eps)
+        x_p = jax.nn.sigmoid(x_normed)
+        return alphas * (1.0 - x_p) * x + x_p * x
+
+
+class FcnNet(nn.Module):
+    """Dense stack with optional BN, per base_model.py:627-708."""
+
+    layer_sizes: Sequence[int]
+    activations: Sequence[str]
+    enable_bn: bool = False
+    out_dim: Optional[int] = 1
+    kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(stddev=0.01)
+    dropout_rates: Optional[Sequence[float]] = None  # hparams.dropout when user_dropout
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for idx, size in enumerate(self.layer_sizes):
+            x = nn.Dense(size, kernel_init=self.kernel_init,
+                         bias_init=nn.initializers.zeros,
+                         name=f"w_nn_layer{idx}")(x)
+            if self.enable_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.95, epsilon=1e-4,
+                                 name=f"bn{idx}")(x)
+            if self.dropout_rates is not None:
+                rate = self.dropout_rates[min(idx, len(self.dropout_rates) - 1)]
+                x = nn.Dropout(rate=rate, deterministic=not train)(x)
+            x = activate(x, self.activations[min(idx, len(self.activations) - 1)],
+                         parent=self, layer_idx=idx)
+        if self.out_dim is not None:
+            x = nn.Dense(self.out_dim, kernel_init=self.kernel_init,
+                         bias_init=nn.initializers.zeros,
+                         name="w_nn_output")(x)
+        return x
+
+
+def activate(x: jnp.ndarray, activation: str, parent: Optional[nn.Module] = None,
+             layer_idx: int = 0) -> jnp.ndarray:
+    """Activation dispatch, mirroring base_model.py:314-330."""
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if activation == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    if activation == "relu":
+        return jax.nn.relu(x)
+    if activation == "tanh":
+        return jnp.tanh(x)
+    if activation == "elu":
+        return jax.nn.elu(x)
+    if activation == "identity":
+        return x
+    if activation == "dice":
+        if parent is None:
+            raise ValueError("dice needs a parent module for its parameters")
+        return Dice(name=f"dice_{layer_idx}", parent=parent)(x)
+    raise ValueError(f"this activations not defined {activation}")

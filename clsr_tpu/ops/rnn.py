@@ -1,0 +1,245 @@
+"""Recurrent encoders as `lax.scan` kernels.
+
+TPU-native redesign of the reference's TF1 cells + forked dynamic_rnn
+(rnn_cell_implement.py:46-708, rnn_dien.py:439-753):
+
+  * Input projections are hoisted OUT of the recurrence: one big [B*L, D] x
+    [D, k*H] matmul feeds the MXU, and the scan body only carries the
+    h-dependent [B, H] x [H, k*H] product.  For Time4LSTM the entire
+    time-gating path (both tanh time embeddings, both time states, and the
+    output-gate time term) is input-only and precomputed — the reference
+    recomputes all of it per step inside the tf.while_loop.
+  * Variable-length sequences use carry-through masking, reproducing
+    `dynamic_rnn(sequence_length=...)` semantics (rnn_dien.py:139-267
+    `_rnn_step`): outputs are zero past a row's length and the final state
+    is the state at t = length-1.
+  * Cell math matches TF1 exactly:
+      GRU     — gates sigmoid([x,h]Wg + bg(init 1)), candidate
+                tanh([x, r*h]Wc + bc), h' = u*h + (1-u)*c.
+      LSTM    — i,j,f,o = split([x,m]W + b); c' = sig(f+1)c + sig(i)tanh(j);
+                m' = sig(o)tanh(c').
+      Time4LSTM — rnn_cell_implement.py:129-298: two learned time embeddings
+                gate the forget/input paths, time terms add into the output
+                gate.  Takes `t_last` (= time_from_first_action) and `t_now`
+                (= time_to_now) per the CLSR wiring (clsr.py:179-200, cell
+                reads inputs[:,-2]/-1]).
+      VecAttGRU — rnn_cell_implement.py:558-623 (DIEN): update gate scaled
+                by the external attention score, u = (1-att)*u.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from clsr_tpu.ops.initializers import tf1_glorot_uniform
+
+
+def _masked_scan(step_fn, carry0, xs_time_major, mask_time_major):
+    """Run `step_fn` over time with carry-through masking.
+
+    step_fn(carry, x_t) -> (new_carry, out_t); mask is [L, B].
+    Carry leaves are [B, H]-shaped; outputs are zeroed past seq length.
+    """
+
+    def body(carry, inp):
+        x_t, m_t = inp
+        new_carry, out_t = step_fn(carry, x_t)
+        m = m_t[:, None]
+        blended = jax.tree_util.tree_map(
+            lambda new, old: m * new + (1.0 - m) * old, new_carry, carry
+        )
+        return blended, m * out_t
+
+    final, outs = jax.lax.scan(body, carry0, (xs_time_major, mask_time_major))
+    return final, outs
+
+
+def _to_time_major(x):
+    return jnp.moveaxis(x, 1, 0)
+
+
+def _to_batch_major(x):
+    return jnp.moveaxis(x, 0, 1)
+
+
+class GRU(nn.Module):
+    """TF1-parity GRU over [B, L, D] with masking.
+
+    Returns (outputs [B, L, H], final_state [B, H]).
+    """
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 init_state: Optional[jnp.ndarray] = None):
+        B, L, D = x.shape
+        H = self.hidden_size
+        Wg = self.param("gate_kernel", tf1_glorot_uniform, (D + H, 2 * H))
+        bg = self.param("gate_bias", nn.initializers.ones, (2 * H,))
+        Wc = self.param("cand_kernel", tf1_glorot_uniform, (D + H, H))
+        bc = self.param("cand_bias", nn.initializers.zeros, (H,))
+
+        xg = jnp.einsum("bld,dk->blk", x, Wg[:D]) + bg
+        xc = jnp.einsum("bld,dk->blk", x, Wc[:D])
+        Whg, Whc = Wg[D:], Wc[D:]
+
+        h0 = init_state if init_state is not None else jnp.zeros((B, H), x.dtype)
+
+        def step(h, inp):
+            xg_t, xc_t = inp
+            gates = jax.nn.sigmoid(xg_t + h @ Whg)
+            r, u = jnp.split(gates, 2, axis=-1)
+            c = jnp.tanh(xc_t + (r * h) @ Whc + bc)
+            h_new = u * h + (1.0 - u) * c
+            return h_new, h_new
+
+        final, outs = _masked_scan(
+            step, h0,
+            (_to_time_major(xg), _to_time_major(xc)),
+            _to_time_major(mask),
+        )
+        return _to_batch_major(outs), final
+
+
+class LSTM(nn.Module):
+    """TF1-parity basic LSTMCell (no peepholes), forget_bias=1.0."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 init_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        B, L, D = x.shape
+        H = self.hidden_size
+        W = self.param("kernel", tf1_glorot_uniform, (D + H, 4 * H))
+        b = self.param("bias", nn.initializers.zeros, (4 * H,))
+
+        xw = jnp.einsum("bld,dk->blk", x, W[:D]) + b
+        Wh = W[D:]
+
+        if init_state is None:
+            init_state = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+
+        def step(carry, xw_t):
+            c, m = carry
+            mat = xw_t + m @ Wh
+            i, j, f, o = jnp.split(mat, 4, axis=-1)
+            c_new = (jax.nn.sigmoid(f + 1.0) * c
+                     + jax.nn.sigmoid(i) * jnp.tanh(j))
+            m_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (c_new, m_new), m_new
+
+        (c_f, m_f), outs = _masked_scan(
+            step, init_state, _to_time_major(xw), _to_time_major(mask)
+        )
+        return _to_batch_major(outs), (c_f, m_f)
+
+
+class Time4LSTM(nn.Module):
+    """Time-aware LSTM (rnn_cell_implement.py:46-298).
+
+    `t_last` / `t_now` are the per-step scalar time features the reference
+    concatenates onto the input (clsr.py:179-193): time_from_first_action
+    and time_to_now respectively.
+    """
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t_last: jnp.ndarray,
+                 t_now: jnp.ndarray, mask: jnp.ndarray):
+        B, L, D = x.shape
+        H = self.hidden_size
+
+        w_tn = self.param("time_input_w1", tf1_glorot_uniform, (H,))
+        b_tn = self.param("time_input_bias1", nn.initializers.zeros, (H,))
+        w_tl = self.param("time_input_w2", tf1_glorot_uniform, (H,))
+        b_tl = self.param("time_input_bias2", nn.initializers.zeros, (H,))
+        Wk1 = self.param("time_kernel_w1", tf1_glorot_uniform, (D, H))
+        T1 = self.param("time_kernel_t1", tf1_glorot_uniform, (H, H))
+        tb1 = self.param("time_bias1", nn.initializers.zeros, (H,))
+        Wk2 = self.param("time_kernel_w2", tf1_glorot_uniform, (D, H))
+        T2 = self.param("time_kernel_t2", tf1_glorot_uniform, (H, H))
+        tb2 = self.param("time_bias2", nn.initializers.zeros, (H,))
+        Ot1 = self.param("o_kernel_t1", tf1_glorot_uniform, (H, H))
+        Ot2 = self.param("o_kernel_t2", tf1_glorot_uniform, (H, H))
+        W = self.param("kernel", tf1_glorot_uniform, (D + H, 4 * H))
+        b = self.param("bias", nn.initializers.zeros, (4 * H,))
+
+        # --- input-only terms, hoisted out of the recurrence ------------
+        tn_in = jnp.tanh(t_now[..., None] * w_tn + b_tn)    # [B,L,H]
+        tl_in = jnp.tanh(t_last[..., None] * w_tl + b_tl)   # [B,L,H]
+        tn_state = (jnp.einsum("bld,dh->blh", x, Wk1)
+                    + jnp.einsum("blh,hk->blk", tn_in, T1) + tb1)
+        tl_state = (jnp.einsum("bld,dh->blh", x, Wk2)
+                    + jnp.einsum("blh,hk->blk", tl_in, T2) + tb2)
+        o_time = (jnp.einsum("blh,hk->blk", tn_in, Ot1)
+                  + jnp.einsum("blh,hk->blk", tl_in, Ot2))
+        xw = jnp.einsum("bld,dk->blk", x, W[:D]) + b
+        Wh = W[D:]
+
+        carry0 = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+
+        def step(carry, inp):
+            c, m = carry
+            xw_t, tn_t, tl_t, ot_t = inp
+            mat = xw_t + m @ Wh
+            i, j, f, o = jnp.split(mat, 4, axis=-1)
+            o = o + ot_t
+            c_new = (jax.nn.sigmoid(f + 1.0) * jax.nn.sigmoid(tl_t) * c
+                     + jax.nn.sigmoid(i) * jax.nn.sigmoid(tn_t) * jnp.tanh(j))
+            m_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (c_new, m_new), m_new
+
+        (c_f, m_f), outs = _masked_scan(
+            step, carry0,
+            (_to_time_major(xw), _to_time_major(tn_state),
+             _to_time_major(tl_state), _to_time_major(o_time)),
+            _to_time_major(mask),
+        )
+        return _to_batch_major(outs), (c_f, m_f)
+
+
+class VecAttGRU(nn.Module):
+    """Attention-modulated GRU (DIEN; rnn_cell_implement.py:558-623)."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, att_scores: jnp.ndarray,
+                 mask: jnp.ndarray,
+                 init_state: Optional[jnp.ndarray] = None):
+        B, L, D = x.shape
+        H = self.hidden_size
+        Wg = self.param("gate_kernel", tf1_glorot_uniform, (D + H, 2 * H))
+        bg = self.param("gate_bias", nn.initializers.ones, (2 * H,))
+        Wc = self.param("cand_kernel", tf1_glorot_uniform, (D + H, H))
+        bc = self.param("cand_bias", nn.initializers.zeros, (H,))
+
+        xg = jnp.einsum("bld,dk->blk", x, Wg[:D]) + bg
+        xc = jnp.einsum("bld,dk->blk", x, Wc[:D])
+        Whg, Whc = Wg[D:], Wc[D:]
+
+        h0 = init_state if init_state is not None else jnp.zeros((B, H), x.dtype)
+
+        def step(h, inp):
+            xg_t, xc_t, att_t = inp
+            gates = jax.nn.sigmoid(xg_t + h @ Whg)
+            r, u = jnp.split(gates, 2, axis=-1)
+            c = jnp.tanh(xc_t + (r * h) @ Whc + bc)
+            u = (1.0 - att_t[:, None]) * u
+            h_new = u * h + (1.0 - u) * c
+            return h_new, h_new
+
+        final, outs = _masked_scan(
+            step, h0,
+            (_to_time_major(xg), _to_time_major(xc),
+             _to_time_major(att_scores)),
+            _to_time_major(mask),
+        )
+        return _to_batch_major(outs), final
