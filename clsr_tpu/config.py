@@ -260,6 +260,14 @@ class Config:
             raise ValueError(f"contrastive_loss must be bpr or triplet, got {self.contrastive_loss}")
         if self.sequential_model not in ("gru", "lstm", "time4lstm"):
             raise ValueError(f"sequential_model not defined: {self.sequential_model}")
+        if model == "clsr" and self.hidden_size != self.target_dim:
+            # the alpha fusion adds att_fea_long (history dim = item+cate)
+            # to att_fea_short (RNN hidden dim) — clsr.py:265; the taobao
+            # config satisfies 32+8 == 40 (clsr.yaml:18-19,41)
+            raise ValueError(
+                "CLSR requires hidden_size == item_embedding_dim + "
+                f"cate_embedding_dim (got {self.hidden_size} vs "
+                f"{self.target_dim})")
         return self
 
 

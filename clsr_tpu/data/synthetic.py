@@ -23,8 +23,13 @@ from clsr_tpu.data.vocab import Vocab
 
 def make_synthetic_events(n_users: int = 50, n_items: int = 200,
                           n_cates: int = 20, max_events: int = 30,
-                          seed: int = 0):
-    """Per-user chronological event streams with Zipf-ish item popularity."""
+                          seed: int = 0, pref_strength: float = 0.8):
+    """Per-user chronological event streams with Zipf-ish item popularity.
+
+    Each user has two preferred categories; `pref_strength` of their events
+    come from those categories' items.  This injects a learnable signal
+    (category affinity + popularity) so e2e tests can assert AUC > 0.5
+    against popularity-sampled negatives."""
     rng = np.random.RandomState(seed)
     item_pop = 1.0 / np.arange(1, n_items + 1) ** 0.8
     item_pop /= item_pop.sum()
@@ -33,8 +38,17 @@ def make_synthetic_events(n_users: int = 50, n_items: int = 200,
     events = {}
     t0 = 1_500_000_000
     for u in range(1, n_users + 1):
+        prefs = rng.choice(n_cates, size=2, replace=False) + 1
+        in_pref = np.isin(item2cate, prefs)
+        pref_p = item_pop * np.where(in_pref, 1.0, 0.0)
+        pref_p = pref_p / pref_p.sum() if pref_p.sum() > 0 else item_pop
         n_ev = rng.randint(5, max_events + 1)
-        items = rng.choice(n_items, size=n_ev, p=item_pop) + 1
+        from_pref = rng.rand(n_ev) < pref_strength
+        items = np.where(
+            from_pref,
+            rng.choice(n_items, size=n_ev, p=pref_p),
+            rng.choice(n_items, size=n_ev, p=item_pop),
+        ) + 1
         times = np.sort(t0 + rng.randint(0, 9 * 24 * 3600, size=n_ev))
         events[u] = (items, times)
     return events, item2cate

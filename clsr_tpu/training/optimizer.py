@@ -1,0 +1,59 @@
+"""Optimizer factory with per-tensor gradient clipping.
+
+Mirrors base_model.py:249-297: the reference clips EACH gradient tensor to
+`max_grad_norm` with tf.clip_by_norm (per-variable, not global) BEFORE the
+optimizer applies it, then uses one of 10 optimizers.  Here the clip is an
+optax transform chained ahead of the optimizer so moments are computed on
+clipped gradients, exactly like compute_gradients -> clip -> apply_gradients.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+from clsr_tpu.config import Config
+
+
+def clip_by_norm_each(max_norm: float) -> optax.GradientTransformation:
+    """tf.clip_by_norm semantics per tensor: g * max_norm/||g|| if ||g||>max."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(g * g))
+            scale = jnp.where(norm > max_norm, max_norm / norm, 1.0)
+            return g * scale
+
+        import jax
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(cfg: Config) -> optax.GradientTransformation:
+    lr = cfg.learning_rate
+    name = cfg.optimizer
+    if name in ("adam", "lazyadam"):
+        opt = optax.adam(lr)
+    elif name == "adadelta":
+        opt = optax.adadelta(lr)
+    elif name == "adagrad":
+        opt = optax.adagrad(lr)
+    elif name in ("sgd", "gd", "pgd"):
+        opt = optax.sgd(lr)
+    elif name == "rmsprop":
+        opt = optax.rmsprop(lr)
+    elif name in ("ftrl", "padagrad"):
+        # no optax equivalent; the reference defaults rarely hit these
+        opt = optax.adagrad(lr)
+    else:
+        opt = optax.sgd(lr)
+    if cfg.is_clip_norm:
+        return optax.chain(clip_by_norm_each(cfg.max_grad_norm), opt)
+    return opt

@@ -1,0 +1,35 @@
+"""Train state: params + optimizer state + BatchNorm running statistics."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from clsr_tpu.config import Config
+from clsr_tpu.data.batch import Batch
+from clsr_tpu.training.optimizer import build_optimizer
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(model, cfg: Config, sample_batch: Batch,
+                       rng: Optional[jax.Array] = None) -> TrainState:
+    """Initialize parameters (like the reference's graph build + init_op,
+    base_model.py:52-71) and the optimizer."""
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        sample_batch, train=True)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", flax.core.freeze({})),
+        tx=build_optimizer(cfg),
+    )

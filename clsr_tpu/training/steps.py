@@ -1,0 +1,72 @@
+"""Jit-compiled train / eval steps.
+
+The reference runs one sess.run per feed_dict (clsr.py:383-408); here the
+whole step — on-device negative sampling, forward, 4-part loss, backward,
+per-tensor clip, Adam update, BN stat update — is ONE XLA program.  Batches
+are donated so parameters update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clsr_tpu.config import Config
+from clsr_tpu.data.batch import Batch
+from clsr_tpu.training.losses import LossParts, total_loss
+from clsr_tpu.training.negative_sampling import expand_with_negatives
+from clsr_tpu.training.state import TrainState
+
+
+def make_train_step(model, cfg: Config,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, LossParts).
+
+    `batch` carries G=1 (positives only); negatives are sampled on-device
+    (1 + train_num_ngs candidate targets per row).
+    """
+    num_ngs = cfg.train_num_ngs
+
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        rng_samp, rng_drop = jax.random.split(rng)
+        if cfg.need_sample and num_ngs > 0:
+            batch = expand_with_negatives(rng_samp, batch, num_ngs)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (logits, aux), mutated = state.apply_fn(
+                variables, batch, train=True,
+                rngs={"dropout": rng_drop},
+                mutable=["batch_stats"])
+            parts = total_loss(cfg, logits, aux, batch, params)
+            return parts.loss, (parts, mutated.get("batch_stats", state.batch_stats))
+
+        grads, (parts, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, parts
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: Config) -> Callable:
+    """Returns eval_step(state, batch) -> (preds [B,G], alpha [B,G]).
+
+    Eval mode: BN running stats, no dropout (base_model.py:366-392);
+    preds = sigmoid(logit) for classification (base_model.py:89-109).
+    """
+
+    def step(state: TrainState, batch: Batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits, aux = state.apply_fn(variables, batch, train=False)
+        if cfg.method == "classification":
+            preds = jax.nn.sigmoid(logits)
+        else:
+            preds = logits
+        alpha = aux.get("alpha", jnp.zeros_like(preds))
+        return preds, alpha
+
+    return jax.jit(step)

@@ -1,0 +1,128 @@
+"""Training driver: epoch loop, early stopping, checkpointing.
+
+Mirrors SequentialBaseModel.fit (sequential_base_model.py:111-202):
+per-epoch reshuffled train pass, weighted eval on the valid file, early
+stop with patience cfg.early_stop on cfg.eval_metric (wauc on the CLSR
+path, sequential.py:57,359), checkpoint-on-improvement.
+
+Checkpoints are orbax-backed and include optimizer state and BN running
+statistics, enabling true resume-of-training (the reference's tf.train.Saver
+restore path is eval-only — SURVEY.md section 5)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from clsr_tpu.config import Config
+from clsr_tpu.data.loader import SequenceLoader
+from clsr_tpu.training.evaluator import run_weighted_eval
+from clsr_tpu.training.state import TrainState, create_train_state
+from clsr_tpu.training.steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, model, cfg: Config, sample_batch,
+                 rng: Optional[jax.Array] = None, log=print):
+        self.model = model
+        self.cfg = cfg
+        self.log = log
+        self.state = create_train_state(model, cfg, sample_batch, rng)
+        self.train_step = make_train_step(model, cfg)
+        self.eval_step = make_eval_step(model, cfg)
+        self.best_epoch = 0
+        self.eval_history: List[Tuple[int, Dict[str, float]]] = []
+        self._ckpt = ocp.StandardCheckpointer() if cfg.model_dir else None
+
+    # ------------------------------------------------------------------
+    def fit(self, train_loader: SequenceLoader,
+            valid_loader: SequenceLoader,
+            valid_num_ngs: Optional[int] = None,
+            np_rng: Optional[np.random.RandomState] = None) -> "Trainer":
+        cfg = self.cfg
+        if valid_num_ngs is None:
+            valid_num_ngs = cfg.valid_num_ngs
+        if cfg.need_sample and cfg.train_num_ngs < 1:
+            raise ValueError(
+                "Please specify a positive integer of negative numbers for "
+                "training without sampling needed.")
+        if valid_num_ngs < 1:
+            raise ValueError(
+                "Please specify a positive integer of negative numbers for "
+                "validation.")
+        np_rng = np_rng or np.random.RandomState(cfg.seed)
+        rng = jax.random.PRNGKey(
+            cfg.seed if cfg.seed is not None else int(time.time()))
+
+        best_metric = 0.0
+        self.best_epoch = 0
+        step = 0
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.time()
+            epoch_loss = 0.0
+            n_steps = 0
+            for batch in train_loader.train_batches(
+                    cfg.batch_size, np_rng,
+                    min_seq_length=cfg.min_seq_length):
+                rng, sub = jax.random.split(rng)
+                self.state, parts = self.train_step(self.state, batch, sub)
+                step += 1
+                n_steps += 1
+                if cfg.show_step and step % cfg.show_step == 0:
+                    self.log(
+                        f"step {step}, total_loss: {float(parts.loss):.4f}, "
+                        f"data_loss: {float(parts.data_loss):.4f}")
+                epoch_loss += float(parts.loss)
+            train_time = time.time() - t0
+
+            t0 = time.time()
+            valid_res = run_weighted_eval(
+                self.eval_step, self.state, valid_loader, cfg, valid_num_ngs)
+            eval_time = time.time() - t0
+            self.log(
+                "eval valid at epoch {0}: {1}".format(
+                    epoch, ",".join(f"{k}:{v}" for k, v in valid_res.items())))
+            self.log(f"epoch {epoch} train time {train_time:.1f}s "
+                     f"({n_steps} steps), eval time {eval_time:.1f}s")
+            self.eval_history.append((epoch, valid_res))
+
+            progress = False
+            if valid_res[cfg.eval_metric] > best_metric:
+                best_metric = valid_res[cfg.eval_metric]
+                self.best_epoch = epoch
+                progress = True
+            elif cfg.early_stop > 0 and epoch - self.best_epoch >= cfg.early_stop:
+                self.log(f"early stop at epoch {epoch}!")
+                break
+
+            if cfg.save_model and cfg.model_dir and progress:
+                self.save(os.path.join(cfg.model_dir, f"epoch_{epoch}"))
+
+        self.log(f"best epoch: {self.best_epoch}")
+        return self
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        path = os.path.abspath(path)
+        ckpt = self._ckpt or ocp.StandardCheckpointer()
+        ckpt.save(path, self.state, force=True)
+        ckpt.wait_until_finished()
+
+    def load(self, path: str) -> None:
+        path = os.path.abspath(path)
+        ckpt = self._ckpt or ocp.StandardCheckpointer()
+        self.state = ckpt.restore(path, self.state)
+
+    def load_latest(self, model_dir: str) -> None:
+        """tf.train.latest_checkpoint equivalent (sequential.py:352-353)."""
+        epochs = [d for d in os.listdir(model_dir) if d.startswith("epoch_")]
+        if not epochs:
+            raise IOError(
+                f"Failed to find any matching files for {model_dir}")
+        latest = max(epochs, key=lambda d: int(d.split("_")[1]))
+        self.load(os.path.join(model_dir, latest))
