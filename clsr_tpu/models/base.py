@@ -138,12 +138,7 @@ class SequentialModelBase(nn.Module):
 
         model_output, aux = self.seq_graph(ctx, batch, train)
 
-        logits = FcnNet(
-            cfg.layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            out_dim=1, kernel_init=init,
-            dropout_rates=cfg.dropout if cfg.user_dropout else None,
-            name="logit_fcn",
-        )(model_output, train=train)[..., 0]                   # [B, G]
+        logits = self.head(model_output, train)                # [B, G]
 
         aux = dict(aux)
         aux["embed_sumsq"] = aux.get("embed_sumsq", 0.0) + embed_sumsq
@@ -154,6 +149,17 @@ class SequentialModelBase(nn.Module):
         aux["attn_labels"] = (
             (same_cate * batch.mask[:, None, :]).sum(-1) / denom[:, None])
         return logits, aux
+
+    def head(self, model_output: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Shared logit head (sequential_base_model.py:72); NCF overrides."""
+        cfg = self.cfg
+        init = get_initializer(cfg.init_method, cfg.init_value)
+        return FcnNet(
+            cfg.layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
+            out_dim=1, kernel_init=init,
+            dropout_rates=cfg.dropout if cfg.user_dropout else None,
+            name="logit_fcn",
+        )(model_output, train=train)[..., 0]
 
     def seq_graph(self, ctx: EmbedContext, batch: Batch, train: bool):
         raise NotImplementedError

@@ -206,7 +206,13 @@ class Time4LSTM(nn.Module):
 
 
 class VecAttGRU(nn.Module):
-    """Attention-modulated GRU (DIEN; rnn_cell_implement.py:558-623)."""
+    """Attention-modulated GRU (DIEN; rnn_cell_implement.py:558-623).
+
+    Grouped extension: `att_scores` may be [B, L] (one score stream) or
+    [B, G, L] (G target-conditioned streams).  The shared inputs are
+    projected ONCE; with grouped scores the recurrence carries [B, G, H] —
+    G recurrences share one scan, one input projection, one weight load.
+    """
 
     hidden_size: int
 
@@ -216,6 +222,9 @@ class VecAttGRU(nn.Module):
                  init_state: Optional[jnp.ndarray] = None):
         B, L, D = x.shape
         H = self.hidden_size
+        grouped = att_scores.ndim == 3
+        G = att_scores.shape[1] if grouped else 1
+
         Wg = self.param("gate_kernel", tf1_glorot_uniform, (D + H, 2 * H))
         bg = self.param("gate_bias", nn.initializers.ones, (2 * H,))
         Wc = self.param("cand_kernel", tf1_glorot_uniform, (D + H, H))
@@ -225,21 +234,35 @@ class VecAttGRU(nn.Module):
         xc = jnp.einsum("bld,dk->blk", x, Wc[:D])
         Whg, Whc = Wg[D:], Wc[D:]
 
-        h0 = init_state if init_state is not None else jnp.zeros((B, H), x.dtype)
+        att_g = att_scores if grouped else att_scores[:, None, :]  # [B,G,L]
 
-        def step(h, inp):
-            xg_t, xc_t, att_t = inp
-            gates = jax.nn.sigmoid(xg_t + h @ Whg)
+        if init_state is None:
+            h0 = jnp.zeros((B, G, H), x.dtype)
+        else:
+            h0 = jnp.broadcast_to(init_state[:, None, :], (B, G, H))
+
+        def step(h, inp):                       # h [B,G,H]
+            xg_t, xc_t, att_t = inp             # [B,2H],[B,H],[B,G]
+            gates = jax.nn.sigmoid(xg_t[:, None, :] + h @ Whg)
             r, u = jnp.split(gates, 2, axis=-1)
-            c = jnp.tanh(xc_t + (r * h) @ Whc + bc)
-            u = (1.0 - att_t[:, None]) * u
+            c = jnp.tanh(xc_t[:, None, :] + (r * h) @ Whc + bc)
+            u = (1.0 - att_t[..., None]) * u
             h_new = u * h + (1.0 - u) * c
             return h_new, h_new
 
-        final, outs = _masked_scan(
-            step, h0,
+        def body(h, inp):
+            xg_t, xc_t, att_t, m_t = inp
+            h_new, _ = step(h, (xg_t, xc_t, att_t))
+            m = m_t[:, None, None]
+            h_next = m * h_new + (1.0 - m) * h
+            return h_next, m * h_new
+
+        final, outs = jax.lax.scan(
+            body, h0,
             (_to_time_major(xg), _to_time_major(xc),
-             _to_time_major(att_scores)),
-            _to_time_major(mask),
+             jnp.moveaxis(att_g, 2, 0), _to_time_major(mask)),
         )
-        return _to_batch_major(outs), final
+        outs = jnp.moveaxis(outs, 0, 2)          # [B,G,L,H]
+        if not grouped:
+            return outs[:, 0], final[:, 0]
+        return outs, final

@@ -1,0 +1,157 @@
+"""Mesh & sharding runtime.
+
+The reference has NO distributed machinery (single TF session, one device —
+SURVEY.md section 2.4); this module is the TPU-native addition: a
+(data, model) `jax.sharding.Mesh`, with
+
+  * batch leaves sharded over the `data` axis (pure data parallelism for
+    the dense towers — the GRU/Time4LSTM scans, attention and MLPs are
+    embarrassingly parallel over rows),
+  * embedding tables optionally ROW-SHARDED over the `model` axis (the
+    Kuaishou-scale configuration: large item vocab split across devices;
+    XLA GSPMD turns the gathers into collective lookups),
+  * all other params replicated; gradient reduction happens via the
+    collectives XLA inserts (psum over `data`) — the TPU answer to NCCL.
+
+Works identically on a real multi-chip slice and on the virtual CPU mesh
+(xla_force_host_platform_device_count) used by tests and the driver's
+dry-run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clsr_tpu.config import Config
+from clsr_tpu.data.batch import Batch
+from clsr_tpu.training.state import TrainState
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if n_data is None:
+        n_data = n_dev // n_model
+    if n_data * n_model != n_dev:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} != {n_dev} devices")
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> Batch:
+    """A Batch-shaped pytree of NamedShardings: all leaves sharded on rows."""
+    row = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda _: row, Batch(
+        users=0, items=0, cates=0, labels=0, item_hist=0, cate_hist=0,
+        mask=0, time_diff=0, time_from_first=0, time_to_now=0, valid=0))
+
+
+def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
+    shardings = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(np.asarray(x), s), batch, shardings)
+
+
+def _param_spec(path_tuple, leaf, shard_embeddings: bool,
+                n_model: int) -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path_tuple]
+    if (shard_embeddings and names
+            and str(names[-1]).endswith("_embedding")
+            and hasattr(leaf, "shape")
+            and leaf.shape[0] % n_model == 0):
+        return P("model", None)   # row-shard the big tables
+    return P()                    # replicate dense params
+
+
+def state_sharding(state: TrainState, mesh: Mesh,
+                   shard_embeddings: bool = False):
+    """NamedSharding pytree for a TrainState.
+
+    Optimizer-state leaves mirror their parameter's sharding (adam moments
+    have the param's shape); scalar counters are replicated.
+    """
+
+    n_model = mesh.shape["model"]
+
+    def spec_for_params(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        specs = [
+            NamedSharding(mesh,
+                          _param_spec(path, leaf, shard_embeddings, n_model))
+            for path, leaf in flat
+        ]
+        treedef = jax.tree_util.tree_structure(tree)
+        return jax.tree_util.tree_unflatten(treedef, specs)
+
+    param_specs = spec_for_params(state.params)
+
+    # opt_state: any leaf whose shape matches a (row-shardable) table gets
+    # the table's sharding; everything else replicated.
+    table_shapes = set()
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        names = [getattr(p, "key", str(p)) for p in path]
+        if (shard_embeddings and str(names[-1]).endswith("_embedding")
+                and leaf.shape[0] % n_model == 0):
+            table_shapes.add(leaf.shape)
+
+    def opt_spec(leaf):
+        if hasattr(leaf, "shape") and leaf.shape in table_shapes:
+            return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    opt_specs = jax.tree_util.tree_map(opt_spec, state.opt_state)
+    replicated = NamedSharding(mesh, P())
+    stats_specs = jax.tree_util.tree_map(lambda _: replicated,
+                                         state.batch_stats)
+    return state.replace(
+        step=replicated, params=param_specs, opt_state=opt_specs,
+        batch_stats=stats_specs)
+
+
+def place_state(state: TrainState, mesh: Mesh,
+                shard_embeddings: bool = False) -> TrainState:
+    shardings = state_sharding(state, mesh, shard_embeddings)
+
+    # The sharded copy must not share buffers with the source state: the
+    # sharded train step donates its input, and an aliased shard would
+    # delete the caller's arrays with it.  The CPU backend aliases the
+    # source into device_put results even with may_alias=False, so route
+    # through a host copy (one-time setup cost).
+    def put(x, s):
+        if hasattr(x, "shape"):
+            x = np.asarray(x)
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, state, shardings,
+                                  is_leaf=lambda x: x is None)
+
+
+def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
+                            state: TrainState,
+                            shard_embeddings: bool = False):
+    """Jit the train step with explicit in/out shardings over the mesh."""
+    from clsr_tpu.training.steps import make_train_step_fn
+    from clsr_tpu.training.losses import LossParts
+
+    raw = make_train_step_fn(model, cfg)
+
+    st_shard = state_sharding(state, mesh, shard_embeddings)
+    b_shard = batch_sharding(mesh)
+    replicated = NamedSharding(mesh, P())
+    parts_shard = LossParts(loss=replicated, data_loss=replicated,
+                            regular_loss=replicated,
+                            contrastive_loss=replicated,
+                            discrepancy_loss=replicated)
+
+    return jax.jit(
+        raw,
+        in_shardings=(st_shard, b_shard, replicated),
+        out_shardings=(st_shard, parts_shard),
+        donate_argnums=(0,),
+    )

@@ -21,9 +21,8 @@ from clsr_tpu.training.negative_sampling import expand_with_negatives
 from clsr_tpu.training.state import TrainState
 
 
-def make_train_step(model, cfg: Config,
-                    mesh=None, donate: bool = True) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, LossParts).
+def make_train_step_fn(model, cfg: Config) -> Callable:
+    """The raw (unjitted) train step: (state, batch, rng) -> (state, LossParts).
 
     `batch` carries G=1 (positives only); negatives are sampled on-device
     (1 + train_num_ngs candidate targets per row).
@@ -49,7 +48,13 @@ def make_train_step(model, cfg: Config,
         state = state.replace(batch_stats=new_stats)
         return state, parts
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
+
+
+def make_train_step(model, cfg: Config, donate: bool = True) -> Callable:
+    """Jitted single-device train step."""
+    return jax.jit(make_train_step_fn(model, cfg),
+                   donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, cfg: Config) -> Callable:
