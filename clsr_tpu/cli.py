@@ -1,0 +1,225 @@
+"""Experiment driver.
+
+TPU-native counterpart of the reference quick-start script
+(examples/00_quick_start/sequential.py:1-381): flag parsing, per-dataset
+settings (taobao: max_seq 50 / time_unit 's' / ndcg@2;4;6+hit; kuaishou:
+max_seq 250 / 'ms' / ndcg@1;2 — sequential.py:77-87), model factory over
+the YAML configs, train/test orchestration with ETL-on-demand.
+
+Usage:
+    python -m clsr_tpu.cli --dataset taobao --model CLSR
+    python -m clsr_tpu.cli --dataset taobao --model CLSR --only_test
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="clsr_tpu experiment driver")
+    # mirrors sequential.py:36-68
+    p.add_argument("--dataset", default="taobao",
+                   choices=["taobao", "kuaishou", "synthetic"])
+    p.add_argument("--val_num_ngs", type=int, default=4)
+    p.add_argument("--test_num_ngs", type=int, default=99)
+    p.add_argument("--batch_size", type=int, default=500)
+    p.add_argument("--save_path", default="")
+    p.add_argument("--contrastive_loss", default="triplet",
+                   choices=["bpr", "triplet"])
+    p.add_argument("--contrastive_length_threshold", type=int, default=5)
+    p.add_argument("--contrastive_recent_k", type=int, default=3)
+    p.add_argument("--name", default="taobao-clsr-debug")
+    p.add_argument("--model", default="CLSR")
+    p.add_argument("--only_test", action="store_true")
+    p.add_argument("--write_prediction_to_file", action="store_true")
+    p.add_argument("--manual_alpha", action="store_true")
+    p.add_argument("--manual_alpha_value", type=float, default=0.5)
+    p.add_argument("--no_interest_evolve", dest="interest_evolve",
+                   action="store_false")
+    p.add_argument("--no_predict_long_short", dest="predict_long_short",
+                   action="store_false")
+    p.add_argument("--is_clip_norm", type=int, default=1)
+    p.add_argument("--sequential_model", default="time4lstm",
+                   choices=["gru", "lstm", "time4lstm"])
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--early_stop", type=int, default=5)
+    p.add_argument("--data_path", default=os.path.join(
+        "tests", "resources", "deeprec", "sequential"))
+    p.add_argument("--train_num_ngs", type=int, default=4)
+    p.add_argument("--sample_rate", type=float, default=1.0)
+    p.add_argument("--embed_l2", type=float, default=1e-6)
+    p.add_argument("--layer_l2", type=float, default=1e-6)
+    p.add_argument("--attn_loss_weight", type=float, default=0.001)
+    p.add_argument("--triplet_margin", type=float, default=1.0)
+    p.add_argument("--discrepancy_loss_weight", type=float, default=0.01)
+    p.add_argument("--contrastive_loss_weight", type=float, default=0.1)
+    p.add_argument("--learning_rate", type=float, default=0.001)
+    p.add_argument("--show_step", type=int, default=500)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--raw_data", default=None,
+                   help="raw interaction CSV for on-demand preprocessing")
+    # TPU-native extras
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--model_parallel", type=int, default=1)
+    return p
+
+
+def dataset_settings(dataset: str):
+    """sequential.py:77-87."""
+    if dataset == "kuaishou":
+        return dict(pairwise_metrics=("mean_mrr", "ndcg@1;2"),
+                    weighted_metrics=("wauc",), max_seq_length=250,
+                    time_unit="ms")
+    return dict(pairwise_metrics=("mean_mrr", "ndcg@2;4;6", "hit@2;4;6"),
+                weighted_metrics=("wauc",), max_seq_length=50, time_unit="s")
+
+
+def make_config(args) -> "Config":
+    from clsr_tpu.config import load_config
+
+    model_key = args.model.lower()
+    yaml_name = {"slirec": "sli_rec", "a2svd": "asvd"}.get(model_key,
+                                                           model_key)
+    yaml_file = os.path.join(CONFIG_DIR, f"{yaml_name}.yaml")
+    if not os.path.exists(yaml_file):
+        yaml_file = None
+
+    ds = dataset_settings(args.dataset)
+    data_dir = os.path.join(args.data_path, args.dataset)
+    model_dir = os.path.join(args.data_path, "model", args.name)
+    summary_dir = os.path.join(args.data_path, "summary", args.name)
+
+    return load_config(
+        yaml_file,
+        model_type=model_key,
+        user_vocab=os.path.join(data_dir, "user_vocab.pkl"),
+        item_vocab=os.path.join(data_dir, "item_vocab.pkl"),
+        cate_vocab=os.path.join(data_dir, "category_vocab.pkl"),
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        early_stop=args.early_stop,
+        train_num_ngs=args.train_num_ngs,
+        valid_num_ngs=args.val_num_ngs,
+        test_num_ngs=args.test_num_ngs,
+        embed_l2=args.embed_l2,
+        layer_l2=args.layer_l2,
+        learning_rate=args.learning_rate,
+        show_step=args.show_step,
+        contrastive_loss=args.contrastive_loss,
+        contrastive_length_threshold=args.contrastive_length_threshold,
+        contrastive_recent_k=args.contrastive_recent_k,
+        triplet_margin=args.triplet_margin,
+        discrepancy_loss_weight=args.discrepancy_loss_weight,
+        contrastive_loss_weight=args.contrastive_loss_weight,
+        attn_loss_weight=args.attn_loss_weight,
+        manual_alpha=args.manual_alpha,
+        manual_alpha_value=args.manual_alpha_value,
+        interest_evolve=args.interest_evolve,
+        predict_long_short=args.predict_long_short,
+        is_clip_norm=bool(args.is_clip_norm),
+        sequential_model=args.sequential_model,
+        seed=args.seed,
+        model_dir=model_dir,
+        summaries_dir=summary_dir,
+        data_parallel=args.data_parallel,
+        model_parallel=args.model_parallel,
+        **ds,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    cfg = make_config(args)
+
+    from clsr_tpu.data.etl import data_preprocessing
+    from clsr_tpu.data.graph import build_interaction_graph
+    from clsr_tpu.data.loader import SequenceLoader
+    from clsr_tpu.data.parser import parse_file
+    from clsr_tpu.data.synthetic import write_synthetic_dataset
+    from clsr_tpu.data.vocab import load_vocab
+    from clsr_tpu.models.registry import get_model_class
+    from clsr_tpu.training.evaluator import predict_to_file, run_weighted_eval
+    from clsr_tpu.training.trainer import Trainer
+
+    data_dir = os.path.join(args.data_path, args.dataset)
+    train_file = os.path.join(data_dir, "train_data")
+    valid_file = os.path.join(data_dir, "valid_data")
+    test_file = os.path.join(data_dir, "test_data")
+
+    if not os.path.exists(train_file):
+        os.makedirs(data_dir, exist_ok=True)
+        if args.dataset == "synthetic":
+            write_synthetic_dataset(data_dir, valid_num_ngs=args.val_num_ngs,
+                                    test_num_ngs=args.test_num_ngs)
+            for src, dst in (("user_vocab.pkl", "user_vocab.pkl"),
+                             ("item_vocab.pkl", "item_vocab.pkl"),
+                             ("cate_vocab.pkl", "category_vocab.pkl")):
+                sp = os.path.join(data_dir, src)
+                dp = os.path.join(data_dir, dst)
+                if sp != dp and os.path.exists(sp):
+                    os.replace(sp, dp)
+        elif args.raw_data:
+            data_preprocessing(
+                args.raw_data, train_file, valid_file, test_file,
+                cfg.user_vocab, cfg.item_vocab, cfg.cate_vocab,
+                sample_rate=args.sample_rate,
+                valid_num_ngs=args.val_num_ngs,
+                test_num_ngs=args.test_num_ngs, dataset=args.dataset,
+                seed=args.seed)
+        else:
+            raise SystemExit(
+                f"{train_file} missing; pass --raw_data to preprocess")
+
+    uv = load_vocab(cfg.user_vocab)
+    iv = load_vocab(cfg.item_vocab)
+    cv = load_vocab(cfg.cate_vocab)
+
+    loaders = {}
+    for name, path in (("train", train_file), ("valid", valid_file),
+                       ("test", test_file)):
+        ds = parse_file(path, uv, iv, cv, time_unit=cfg.time_unit)
+        loaders[name] = SequenceLoader(ds, cfg.max_seq_length)
+
+    kwargs = dict(cfg=cfg, n_users=len(uv), n_items=len(iv), n_cates=len(cv))
+    if cfg.model_type == "lgn":
+        kwargs["graph"] = build_interaction_graph(train_file, uv, iv, cv)
+    model = get_model_class(cfg.model_type)(**kwargs)
+
+    sample = next(loaders["train"].train_batches(
+        cfg.batch_size, np.random.RandomState(0)))
+    trainer = Trainer(model, cfg, sample)
+
+    if args.only_test:
+        trainer.load_latest(cfg.model_dir)
+        res = run_weighted_eval(
+            trainer.eval_step, trainer.state, loaders["test"], cfg,
+            num_ngs=cfg.test_num_ngs,
+            calc_mean_alpha=(cfg.model_type in ("clsr", "sli_rec")))
+        print(res)
+        return 0
+
+    trainer.fit(loaders["train"], loaders["valid"],
+                valid_num_ngs=cfg.valid_num_ngs)
+    if trainer.best_epoch and cfg.model_dir:
+        try:
+            trainer.load_latest(cfg.model_dir)
+        except IOError:
+            pass
+    res = run_weighted_eval(trainer.eval_step, trainer.state,
+                            loaders["test"], cfg, num_ngs=cfg.test_num_ngs)
+    print(res)
+    if args.write_prediction_to_file:
+        predict_to_file(trainer.eval_step, trainer.state, loaders["test"],
+                        cfg, os.path.join(args.data_path, "output.txt"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,335 @@
+"""Offline ETL: raw interaction logs -> train/valid/test TSVs + vocabs.
+
+Reimplements the reference dataset builder
+(reco_utils/dataset/sequential_reviews.py) with vectorized pandas:
+
+  data_preprocessing (sequential_reviews.py:27-74) orchestrates:
+    1. dataset main — taobao_main (:955-982): keep 'pv' events, dedup
+       (uid,iid), drop items with multiple category ids (:936-943), clamp to
+       2017-11-25..2017-12-03, downsample 5% of users (:946-952), 10-core
+       filter on items then users (:815-828);
+       kuaishou_main (:999-1041): column renames, dedup, 10-core on items,
+       10-core on users counting only positive rows, keep positives.
+    2. _create_instance (:592-630): per-user chronological label-1 lines
+       joined with the item->category map ('default_cat' when missing).
+    3. _get_sampled_data (:537-556): optional popularity-proportional item
+       subsample.
+    4. global-time split — taobao: test = last 24h, valid = previous 24h
+       (:705-735); kuaishou: 12h windows in ms (:672-702).
+    5. expanding-history generation (:358-438): every prefix of a user's
+       stream becomes a line; valid/test lines subsampled at 20% (taobao)
+       or all splits at 10% (kuaishou, :275-355).
+    6. _create_vocab (:77-144): frequency-sorted, id 0 = default.
+    7. _negative_sampling_offline (:147-199): per valid/test line, sample
+       negatives uniformly from the full interaction list (= popularity-
+       proportional), unique per line, != positive, category substituted.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import datetime
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from clsr_tpu.data.vocab import Vocab
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------- filters
+
+def filter_k_core(record: pd.DataFrame, k_core: int, filtered_column: str,
+                  count_column: str) -> pd.DataFrame:
+    """Keep rows whose `filtered_column` value appears >= k_core times
+    (sequential_reviews.py:815-828)."""
+    counts = record.groupby(filtered_column)[count_column].count()
+    keep = counts[counts >= k_core].index
+    return record[record[filtered_column].isin(keep)].reset_index(drop=True)
+
+
+def filter_items_with_multiple_cids(record: pd.DataFrame) -> pd.DataFrame:
+    """Drop items mapped to more than one category id (:936-943)."""
+    n_cids = record[["iid", "category"]].drop_duplicates().groupby("iid").size()
+    single = n_cids[n_cids == 1].index
+    return record[record["iid"].isin(single)].reset_index(drop=True)
+
+
+def downsample(record: pd.DataFrame, col: str, frac: float,
+               rng: Optional[np.random.RandomState] = None) -> pd.DataFrame:
+    """Keep a random `frac` of distinct `col` values (:946-952)."""
+    values = record[col].drop_duplicates()
+    sample = values.sample(frac=frac, random_state=rng)
+    return record[record[col].isin(sample)].reset_index(drop=True)
+
+
+# ----------------------------------------------------------- dataset mains
+
+def taobao_main(reviews_file: str,
+                rng: Optional[np.random.RandomState] = None
+                ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """UserBehavior.csv -> (reviews[uid,iid,ts], meta[iid,category])
+    (sequential_reviews.py:955-982)."""
+    reviews = pd.read_csv(
+        reviews_file, header=None,
+        names=["uid", "iid", "category", "behavior", "ts"])
+    reviews = reviews[reviews["behavior"] == "pv"]
+    reviews = reviews.drop_duplicates(subset=["uid", "iid"])
+    reviews = filter_items_with_multiple_cids(reviews)
+    start_ts = int(datetime(2017, 11, 25, 0, 0, 0).timestamp())
+    end_ts = int(datetime(2017, 12, 3, 23, 59, 59).timestamp())
+    reviews = reviews[(reviews["ts"] >= start_ts) & (reviews["ts"] <= end_ts)]
+    reviews = downsample(reviews, "uid", 0.05, rng)
+    reviews = filter_k_core(reviews, 10, "iid", "uid")
+    reviews = filter_k_core(reviews, 10, "uid", "iid")
+    meta = reviews[["iid", "category"]].drop_duplicates()
+    return reviews[["uid", "iid", "ts"]], meta
+
+
+def kuaishou_main(reviews_file: str) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """kuaishou.csv -> (reviews, meta) (sequential_reviews.py:999-1041)."""
+    reviews = pd.read_csv(reviews_file, header=0)
+    reviews = reviews.rename(columns={
+        "time_ms": "ts", "user_id": "uid", "photo_id": "iid",
+        "photo_kmeans_cluster_id": "category"})
+    reviews = reviews.drop_duplicates(subset=["uid", "iid"])
+    reviews = filter_k_core(reviews, 10, "iid", "uid")
+    # user 10-core counting only positive rows (:830-843, :1022)
+    pos = reviews[reviews["effective_view"] == 1]
+    counts = pos.groupby("uid")["iid"].count()
+    keep = counts[counts >= 10].index
+    reviews = reviews[reviews["uid"].isin(keep)]
+    reviews = reviews[reviews["effective_view"] == 1].reset_index(drop=True)
+    meta = reviews[["iid", "category"]].drop_duplicates()
+    return reviews[["uid", "iid", "ts"]], meta
+
+
+# ---------------------------------------------------------------- instances
+
+def create_instances(reviews: pd.DataFrame, meta: pd.DataFrame
+                     ) -> pd.DataFrame:
+    """Per-user time-sorted label-1 instances with category joined
+    (:592-630).  Columns: label, user_id, item_id, timestamp, cate_id."""
+    item2cate = meta.set_index("iid")["category"]
+    df = reviews.copy()
+    df["cate_id"] = df["iid"].map(item2cate).fillna("default_cat")
+    df = df.sort_values(["uid", "ts"], kind="stable")
+    return pd.DataFrame({
+        "label": 1, "user_id": df["uid"].values, "item_id": df["iid"].values,
+        "timestamp": df["ts"].values, "cate_id": df["cate_id"].values,
+    })
+
+
+def get_sampled_data(instances: pd.DataFrame, sample_rate: float,
+                     rng: Optional[np.random.RandomState] = None
+                     ) -> pd.DataFrame:
+    """Popularity-proportional item subsample (:537-556)."""
+    if sample_rate >= 1:
+        return instances
+    rng = rng or np.random.RandomState()
+    items_with_popular = instances["item_id"].to_numpy()
+    n_keep = int(instances["item_id"].nunique() * sample_rate)
+    chosen: set = set()
+    while len(chosen) < n_keep:
+        chosen.add(items_with_popular[rng.randint(len(items_with_popular))])
+    return instances[instances["item_id"].isin(chosen)].reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- split
+
+def split_global_time(instances: pd.DataFrame, test_interval: float
+                      ) -> pd.Series:
+    """'train'/'valid'/'test' per row: test = last interval of global time,
+    valid = the one before (:672-735)."""
+    t_max = instances["timestamp"].max()
+    test_split = t_max - test_interval
+    valid_split = t_max - 2 * test_interval
+    t = instances["timestamp"]
+    return pd.Series(
+        np.where(t < valid_split, "train",
+                 np.where(t < test_split, "valid", "test")),
+        index=instances.index)
+
+
+# ----------------------------------------------------------- line generation
+
+def generate_expanding(instances: pd.DataFrame, splits: pd.Series,
+                       train_file: str, valid_file: str, test_file: str,
+                       subsample: Dict[str, float],
+                       min_sequence: int = 1,
+                       rng: Optional[np.random.RandomState] = None) -> None:
+    """Expanding-history TSV generation (:358-438).
+
+    For each user's chronological stream, every event beyond the first
+    produces a line whose history is all PRIOR events; the line goes to the
+    file given by the event's split.  `subsample[split]` keeps that fraction
+    of candidate lines (reference: taobao valid/test 0.2; kuaishou all 0.1).
+    History accumulates across splits (like the reference's single pass).
+    """
+    rng = rng or np.random.RandomState()
+    outs = {"train": open(train_file, "w"), "valid": open(valid_file, "w"),
+            "test": open(test_file, "w")}
+    try:
+        df = instances.assign(_split=splits.values)
+        for uid, group in df.groupby("user_id", sort=False):
+            items = group["item_id"].astype(str).tolist()
+            cates = group["cate_id"].astype(str).tolist()
+            times = group["timestamp"].astype(str).tolist()
+            split_names = group["_split"].tolist()
+            for k in range(1, len(items)):
+                split = split_names[k]
+                frac = subsample.get(split, 1.0)
+                if frac < 1.0 and not rng.uniform() < frac:
+                    continue
+                if k < min_sequence:
+                    continue
+                outs[split].write("\t".join([
+                    "1", str(uid), items[k], cates[k], times[k],
+                    ",".join(items[:k]), ",".join(cates[:k]),
+                    ",".join(times[:k]),
+                ]) + "\n")
+    finally:
+        for f in outs.values():
+            f.close()
+
+
+def generate_no_expanding(instances: pd.DataFrame, splits: pd.Series,
+                          train_file: str, valid_file: str, test_file: str,
+                          min_sequence: int = 1) -> None:
+    """One line per user per split boundary (:441-523): the user's full
+    history predicts their final event of the stream."""
+    outs = {"train": open(train_file, "w"), "valid": open(valid_file, "w"),
+            "test": open(test_file, "w")}
+    try:
+        df = instances.assign(_split=splits.values)
+        for uid, group in df.groupby("user_id", sort=False):
+            items = group["item_id"].astype(str).tolist()
+            cates = group["cate_id"].astype(str).tolist()
+            times = group["timestamp"].astype(str).tolist()
+            split = group["_split"].tolist()[-1]
+            if len(items) - 1 > min_sequence:
+                outs[split].write("\t".join([
+                    "1", str(uid), items[-1], cates[-1], times[-1],
+                    ",".join(items[:-1]), ",".join(cates[:-1]),
+                    ",".join(times[:-1]),
+                ]) + "\n")
+    finally:
+        for f in outs.values():
+            f.close()
+
+
+# ------------------------------------------------------------------- vocab
+
+def create_vocab(train_file: str, user_vocab: str, item_vocab: str,
+                 cate_vocab: str) -> None:
+    """Frequency-sorted vocabs from the TRAIN file only, id 0 = default
+    (:77-144).  Counts cover target + history occurrences."""
+    user_counts: Dict[str, int] = {}
+    item_counts: Dict[str, int] = {}
+    cate_counts: Dict[str, int] = {}
+    with open(train_file) as f:
+        for line in f:
+            arr = line.rstrip("\n").split("\t")
+            if len(arr) < 7:
+                continue
+            user_counts[arr[1]] = user_counts.get(arr[1], 0) + 1
+            item_counts[arr[2]] = item_counts.get(arr[2], 0) + 1
+            cate_counts[arr[3]] = cate_counts.get(arr[3], 0) + 1
+            for m in arr[5].split(","):
+                item_counts[m] = item_counts.get(m, 0) + 1
+            for c in arr[6].split(","):
+                cate_counts[c] = cate_counts.get(c, 0) + 1
+
+    def freq_vocab(counts: Dict[str, int], default: str) -> Vocab:
+        mapping = {default: 0}
+        for i, (tok, _) in enumerate(
+                sorted(counts.items(), key=lambda kv: kv[1], reverse=True)):
+            mapping[tok] = i + 1
+        return Vocab(mapping)
+
+    freq_vocab(user_counts, "default_uid").save(user_vocab)
+    freq_vocab(item_counts, "default_mid").save(item_vocab)
+    freq_vocab(cate_counts, "default_cat").save(cate_vocab)
+
+
+# ------------------------------------------------------- negative sampling
+
+def negative_sampling_offline(instances: pd.DataFrame, valid_file: str,
+                              test_file: str, valid_num_ngs: int = 4,
+                              test_num_ngs: int = 49,
+                              rng: Optional[np.random.RandomState] = None
+                              ) -> None:
+    """Append num_ngs popularity-sampled negative lines after each positive
+    (:147-199): negatives unique per line, != positive, category replaced by
+    the negative item's category."""
+    rng = rng or np.random.RandomState()
+    items_with_popular = instances["item_id"].astype(str).to_numpy()
+    item2cate = dict(zip(instances["item_id"].astype(str),
+                         instances["cate_id"].astype(str)))
+    n_pool = len(items_with_popular)
+
+    for path, num_ngs in ((valid_file, valid_num_ngs),
+                          (test_file, test_num_ngs)):
+        with open(path) as f:
+            lines = f.readlines()
+        with open(path, "w") as out:
+            for line in lines:
+                out.write(line)
+                words = line.strip().split("\t")
+                positive = words[2]
+                neg_items: set = set()
+                while len(neg_items) < num_ngs:
+                    neg = items_with_popular[rng.randint(n_pool)]
+                    if neg == positive or neg in neg_items:
+                        continue
+                    neg_items.add(neg)
+                    words[0] = "0"
+                    words[2] = neg
+                    words[3] = item2cate[neg]
+                    out.write("\t".join(words) + "\n")
+
+
+# -------------------------------------------------------------- orchestrate
+
+def data_preprocessing(reviews_file: str, train_file: str, valid_file: str,
+                       test_file: str, user_vocab: str, item_vocab: str,
+                       cate_vocab: str, sample_rate: float = 1.0,
+                       valid_num_ngs: int = 4, test_num_ngs: int = 9,
+                       dataset: str = "taobao",
+                       is_history_expanding: bool = True,
+                       seed: Optional[int] = None) -> None:
+    """Full pipeline, mirroring sequential_reviews.py:27-74."""
+    rng = np.random.RandomState(seed)
+    if dataset == "taobao":
+        reviews, meta = taobao_main(reviews_file, rng)
+        test_interval = 24 * 60 * 60
+        subsample = {"train": 1.0, "valid": 0.2, "test": 0.2}
+    elif dataset == "kuaishou":
+        reviews, meta = kuaishou_main(reviews_file)
+        test_interval = 12 * 60 * 60 * 1000
+        subsample = {"train": 0.1, "valid": 0.1, "test": 0.1}
+    else:
+        raise ValueError(f"unknown dataset {dataset}")
+
+    instances = create_instances(reviews, meta)
+    instances = get_sampled_data(instances, sample_rate, rng)
+    splits = split_global_time(instances, test_interval)
+
+    for path in (train_file, valid_file, test_file, user_vocab, item_vocab,
+                 cate_vocab):
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+    if is_history_expanding:
+        generate_expanding(instances, splits, train_file, valid_file,
+                           test_file, subsample, rng=rng)
+    else:
+        generate_no_expanding(instances, splits, train_file, valid_file,
+                              test_file)
+    create_vocab(train_file, user_vocab, item_vocab, cate_vocab)
+    negative_sampling_offline(instances, valid_file, test_file,
+                              valid_num_ngs, test_num_ngs, rng)
