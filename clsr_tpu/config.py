@@ -215,6 +215,7 @@ class Config:
     # --- TPU-native execution (no reference equivalent) --------------------
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    use_fused_encoders: bool = True   # one-scan CLSR recurrences (ops/fused_clsr.py)
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)
     prefetch_batches: int = 2

@@ -29,6 +29,37 @@ import numpy as np
 from clsr_tpu.data.vocab import Vocab
 
 
+def _parse_file_native(path, user_vocab, item_vocab, cate_vocab,
+                       time_range) -> Optional["ParsedDataset"]:
+    """Parse via the C++ library (clsr_tpu/native) when it is buildable;
+    returns None to fall back to the pure-Python path."""
+    try:
+        from clsr_tpu import native
+        if not native.available():
+            return None
+        cache_key = (id(user_vocab), id(item_vocab), id(cate_vocab))
+        nv = _native_vocab_cache.get(cache_key)
+        if nv is None:
+            nv = ((user_vocab, item_vocab, cate_vocab),  # keep refs alive
+                  native.NativeVocab(user_vocab.mapping),
+                  native.NativeVocab(item_vocab.mapping),
+                  native.NativeVocab(cate_vocab.mapping))
+            _native_vocab_cache[cache_key] = nv
+        (labels, users, items, cates, times, offsets, hist_items,
+         hist_cates, td, tff, ttn) = native.parse_file_native(
+            path, nv[1], nv[2], nv[3], time_range)
+        return ParsedDataset(
+            labels=labels, users=users, items=items, cates=cates,
+            times=times, offsets=offsets, hist_items=hist_items,
+            hist_cates=hist_cates, time_diff=td, time_from_first=tff,
+            time_to_now=ttn)
+    except Exception:
+        return None
+
+
+_native_vocab_cache: dict = {}
+
+
 def time_range_for_unit(time_unit: str) -> float:
     """The reference's normalizer (sequential_iterator.py:119-122)."""
     if time_unit == "ms":
@@ -84,9 +115,33 @@ def compute_time_features(ts_hist: np.ndarray, current_time: float,
 
 def parse_file(path: str, user_vocab: Vocab, item_vocab: Vocab,
                cate_vocab: Vocab, time_unit: str = "s",
-               col_sep: str = "\t") -> ParsedDataset:
-    """Parse a train/valid/test TSV into a ParsedDataset."""
+               col_sep: str = "\t", recent_k: Optional[int] = None,
+               shuffle_seed: Optional[int] = None,
+               use_native: bool = True) -> ParsedDataset:
+    """Parse a train/valid/test TSV into a ParsedDataset.
+
+    Ablation options mirroring the reference's iterator variants:
+      * recent_k — keep only the last `recent_k` history events before
+        computing time features (RecentSASequentialIterator,
+        sequential_iterator.py:735-763, `counterfactual_recent_k`).
+      * shuffle_seed — shuffle each line's item/cate history with a fixed
+        per-user permutation seed; the TIME sequence is left in place, like
+        the reference which shuffles only items/cates
+        (ShuffleSASequentialIterator, sequential_iterator.py:766-793).
+        Deviation: the reference reuses one permutation of the user's
+        first-seen line for all their lines (and would crash on expanding
+        histories of different lengths); here the permutation is drawn
+        per line from a user-seeded RNG, which is well-defined for any mix
+        of lengths.
+    """
     time_range = time_range_for_unit(time_unit)
+
+    if (use_native and col_sep == "\t" and recent_k is None
+            and shuffle_seed is None):
+        ds = _parse_file_native(path, user_vocab, item_vocab, cate_vocab,
+                                time_range)
+        if ds is not None:
+            return ds
 
     labels, users, items, cates, times = [], [], [], [], []
     offsets = [0]
@@ -112,6 +167,17 @@ def parse_file(path: str, user_vocab: Vocab, item_vocab: Vocab,
             hitems = ilook_many(cols[5].strip().split(","))
             hcates = clook_many(cols[6].strip().split(","))
             ts = np.array(cols[7].strip().split(","), dtype=np.float64)
+
+            if recent_k is not None and len(hitems) > recent_k:
+                hitems = hitems[-recent_k:]
+                hcates = hcates[-recent_k:]
+                ts = ts[-recent_k:]
+            if shuffle_seed is not None:
+                order = np.random.RandomState(
+                    (shuffle_seed * 1_000_003 + users[-1]) % (2 ** 31)
+                ).permutation(len(hitems))
+                hitems = [hitems[i] for i in order]
+                hcates = [hcates[i] for i in order]
 
             td, tff, ttn = compute_time_features(ts, cur, time_range)
             hist_items_parts.append(np.asarray(hitems, dtype=np.int32))

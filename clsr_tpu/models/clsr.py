@@ -42,6 +42,7 @@ from clsr_tpu.models.base import (EmbedContext, SequentialModelBase,
                                   unique_rows_stats)
 from clsr_tpu.data.batch import Batch
 from clsr_tpu.ops.attention import TargetAttention
+from clsr_tpu.ops.fused_clsr import FusedCLSREncoder
 from clsr_tpu.ops.initializers import get_initializer
 from clsr_tpu.ops.mlp import FcnNet
 from clsr_tpu.ops.rnn import GRU, LSTM, Time4LSTM
@@ -81,14 +82,6 @@ class CLSRModel(SequentialModelBase):
         hist_mean = ((hist * mask[..., None]).sum(1)
                      / jnp.maximum(mask.sum(1, keepdims=True), 1.0))
 
-        # ---- short term (clsr.py:159-222) -------------------------------
-        if cfg.interest_evolve:
-            _, short_term_intention = GRU(
-                cfg.user_embedding_dim, name="short_term_intention",
-            )(hist, mask, init_state=user_short)
-        else:
-            short_term_intention = user_short       # [B, 40]
-
         # recent-k proxy via reverse cumsum (clsr.py:173-177)
         position = jnp.cumsum(mask[:, ::-1], axis=1)[:, ::-1]
         recent = ((position >= 1)
@@ -96,16 +89,38 @@ class CLSRModel(SequentialModelBase):
         hist_recent = ((hist * recent[..., None]).sum(1)
                        / jnp.maximum(recent.sum(1, keepdims=True), 1.0))
 
-        if cfg.sequential_model == "time4lstm":
-            rnn_outputs, _ = Time4LSTM(cfg.hidden_size, name="time4lstm")(
-                hist, t_last=batch.time_from_first, t_now=batch.time_to_now,
-                mask=mask)
-        elif cfg.sequential_model == "gru":
-            rnn_outputs, _ = GRU(cfg.hidden_size, name="simple_gru")(hist, mask)
-        elif cfg.sequential_model == "lstm":
-            rnn_outputs, _ = LSTM(cfg.hidden_size, name="simple_lstm")(hist, mask)
+        # ---- short term (clsr.py:159-222) -------------------------------
+        fused = cfg.use_fused_encoders and cfg.sequential_model == "time4lstm"
+        causal2_state = None
+        if fused:
+            # all three recurrences in ONE scan (ops/fused_clsr.py)
+            h1, rnn_outputs, causal2_state = FusedCLSREncoder(
+                cfg.user_embedding_dim, cfg.hidden_size,
+                interest_evolve=cfg.interest_evolve,
+                predict_long_short=cfg.predict_long_short,
+                name="fused_encoders",
+            )(hist, batch.time_from_first, batch.time_to_now, mask,
+              user_short)
+            short_term_intention = h1 if cfg.interest_evolve else user_short
         else:
-            raise ValueError(cfg.sequential_model)
+            if cfg.interest_evolve:
+                _, short_term_intention = GRU(
+                    cfg.user_embedding_dim, name="short_term_intention",
+                )(hist, mask, init_state=user_short)
+            else:
+                short_term_intention = user_short   # [B, 40]
+            if cfg.sequential_model == "time4lstm":
+                rnn_outputs, _ = Time4LSTM(cfg.hidden_size, name="time4lstm")(
+                    hist, t_last=batch.time_from_first,
+                    t_now=batch.time_to_now, mask=mask)
+            elif cfg.sequential_model == "gru":
+                rnn_outputs, _ = GRU(cfg.hidden_size, name="simple_gru")(
+                    hist, mask)
+            elif cfg.sequential_model == "lstm":
+                rnn_outputs, _ = LSTM(cfg.hidden_size, name="simple_lstm")(
+                    hist, mask)
+            else:
+                raise ValueError(cfg.sequential_model)
 
         sti_g = jnp.broadcast_to(
             short_term_intention[:, None, :],
@@ -122,7 +137,9 @@ class CLSRModel(SequentialModelBase):
         if not cfg.manual_alpha:
             parts = []
             if cfg.predict_long_short:
-                _, causal2_state = GRU(cfg.hidden_size, name="causal2")(hist, mask)
+                if causal2_state is None:
+                    _, causal2_state = GRU(cfg.hidden_size, name="causal2")(
+                        hist, mask)
                 parts.append(jnp.broadcast_to(
                     causal2_state[:, None, :], (B, G, causal2_state.shape[-1])))
             last_time = jnp.broadcast_to(

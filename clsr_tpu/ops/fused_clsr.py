@@ -1,0 +1,157 @@
+"""Fused CLSR recurrent encoder.
+
+The CLSR forward runs THREE independent recurrences over the same history
+(clsr.py:161,194,230): the interest-evolution GRU (initial state = user
+short embedding), the Time4LSTM (or plain GRU/LSTM) encoder, and the
+"causal2" GRU feeding the fusion gate.  The reference — and a naive port —
+executes them as three sequential length-L loops.
+
+This module computes identical math in ONE `lax.scan`:
+  * all input-only projections for all three cells are hoisted into a
+    single [B*L, D] x [D, K] matmul (one MXU pass over the history),
+  * the scan carry is the concatenation of the three cells' states, so the
+    loop runs L iterations instead of 3L — in both the forward and the
+    (autodiff'd) backward pass.
+
+Cell math matches ops/rnn.py (which matches TF1) exactly; see
+tests/test_fused_clsr.py for the parameter-for-parameter differential test.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from clsr_tpu.ops.initializers import tf1_glorot_uniform
+from clsr_tpu.ops.rnn import _to_batch_major, _to_time_major
+
+
+class FusedCLSREncoder(nn.Module):
+    """One-scan (interest-evolve GRU + Time4LSTM + causal2 GRU).
+
+    Returns (short_term_intention [B,U], rnn_outputs [B,L,H],
+    causal2_state [B,H]).  Only sequential_model='time4lstm' is fused (the
+    taobao/kuaishou configs); other settings fall back to the unfused path
+    in the model.
+    """
+
+    user_dim: int
+    hidden_size: int
+    interest_evolve: bool = True
+    predict_long_short: bool = True
+
+    @nn.compact
+    def __call__(self, hist: jnp.ndarray, t_last: jnp.ndarray,
+                 t_now: jnp.ndarray, mask: jnp.ndarray,
+                 user_short: jnp.ndarray):
+        B, L, D = hist.shape
+        U, H = self.user_dim, self.hidden_size
+
+        # --- params (same shapes/inits as the unfused modules) ----------
+        # interest-evolve GRU (hidden U)
+        g1_Wg = self.param("stint_gate_kernel", tf1_glorot_uniform,
+                           (D + U, 2 * U))
+        g1_bg = self.param("stint_gate_bias", nn.initializers.ones, (2 * U,))
+        g1_Wc = self.param("stint_cand_kernel", tf1_glorot_uniform,
+                           (D + U, U))
+        g1_bc = self.param("stint_cand_bias", nn.initializers.zeros, (U,))
+        # Time4LSTM
+        w_tn = self.param("t4l_time_input_w1", tf1_glorot_uniform, (H,))
+        b_tn = self.param("t4l_time_input_bias1", nn.initializers.zeros, (H,))
+        w_tl = self.param("t4l_time_input_w2", tf1_glorot_uniform, (H,))
+        b_tl = self.param("t4l_time_input_bias2", nn.initializers.zeros, (H,))
+        Wk1 = self.param("t4l_time_kernel_w1", tf1_glorot_uniform, (D, H))
+        T1 = self.param("t4l_time_kernel_t1", tf1_glorot_uniform, (H, H))
+        tb1 = self.param("t4l_time_bias1", nn.initializers.zeros, (H,))
+        Wk2 = self.param("t4l_time_kernel_w2", tf1_glorot_uniform, (D, H))
+        T2 = self.param("t4l_time_kernel_t2", tf1_glorot_uniform, (H, H))
+        tb2 = self.param("t4l_time_bias2", nn.initializers.zeros, (H,))
+        Ot1 = self.param("t4l_o_kernel_t1", tf1_glorot_uniform, (H, H))
+        Ot2 = self.param("t4l_o_kernel_t2", tf1_glorot_uniform, (H, H))
+        t4l_W = self.param("t4l_kernel", tf1_glorot_uniform, (D + H, 4 * H))
+        t4l_b = self.param("t4l_bias", nn.initializers.zeros, (4 * H,))
+        # causal2 GRU (hidden H)
+        g2_Wg = self.param("causal2_gate_kernel", tf1_glorot_uniform,
+                           (D + H, 2 * H))
+        g2_bg = self.param("causal2_gate_bias", nn.initializers.ones,
+                           (2 * H,))
+        g2_Wc = self.param("causal2_cand_kernel", tf1_glorot_uniform,
+                           (D + H, H))
+        g2_bc = self.param("causal2_cand_bias", nn.initializers.zeros, (H,))
+
+        # --- one fused input projection over the whole history ----------
+        # widths: [2U, U | 4H | 2H, H]
+        x_kernel = jnp.concatenate(
+            [g1_Wg[:D], g1_Wc[:D], t4l_W[:D], g2_Wg[:D], g2_Wc[:D]], axis=1)
+        x_proj = jnp.einsum("bld,dk->blk", hist, x_kernel)
+        s0, s1, s2, s3, s4 = 2 * U, 3 * U, 3 * U + 4 * H, 3 * U + 6 * H, \
+            3 * U + 7 * H
+        xg1 = x_proj[..., :s0] + g1_bg
+        xc1 = x_proj[..., s0:s1]
+        xw = x_proj[..., s1:s2] + t4l_b
+        xg2 = x_proj[..., s2:s3] + g2_bg
+        xc2 = x_proj[..., s3:s4]
+
+        # Time4LSTM input-only time terms (see ops/rnn.py Time4LSTM)
+        tn_in = jnp.tanh(t_now[..., None] * w_tn + b_tn)
+        tl_in = jnp.tanh(t_last[..., None] * w_tl + b_tl)
+        tn_state = (jnp.einsum("bld,dh->blh", hist, Wk1)
+                    + jnp.einsum("blh,hk->blk", tn_in, T1) + tb1)
+        tl_state = (jnp.einsum("bld,dh->blh", hist, Wk2)
+                    + jnp.einsum("blh,hk->blk", tl_in, T2) + tb2)
+        o_time = (jnp.einsum("blh,hk->blk", tn_in, Ot1)
+                  + jnp.einsum("blh,hk->blk", tl_in, Ot2))
+
+        g1_Whg, g1_Whc = g1_Wg[D:], g1_Wc[D:]
+        t4l_Wh = t4l_W[D:]
+        g2_Whg, g2_Whc = g2_Wg[D:], g2_Wc[D:]
+
+        run_g1 = self.interest_evolve
+        run_g2 = self.predict_long_short
+
+        h1_0 = user_short
+        c0 = jnp.zeros((B, H), hist.dtype)
+        m0 = jnp.zeros((B, H), hist.dtype)
+        h2_0 = jnp.zeros((B, H), hist.dtype)
+
+        def step(carry, inp):
+            h1, c, m, h2 = carry
+            (xg1_t, xc1_t, xw_t, tn_t, tl_t, ot_t, xg2_t, xc2_t, m_t) = inp
+            mt = m_t[:, None]
+
+            if run_g1:
+                gates1 = jax.nn.sigmoid(xg1_t + h1 @ g1_Whg)
+                r1, u1 = jnp.split(gates1, 2, axis=-1)
+                cand1 = jnp.tanh(xc1_t + (r1 * h1) @ g1_Whc + g1_bc)
+                h1n = u1 * h1 + (1.0 - u1) * cand1
+                h1 = mt * h1n + (1.0 - mt) * h1
+
+            mat = xw_t + m @ t4l_Wh
+            i, j, f, o = jnp.split(mat, 4, axis=-1)
+            o = o + ot_t
+            c_new = (jax.nn.sigmoid(f + 1.0) * jax.nn.sigmoid(tl_t) * c
+                     + jax.nn.sigmoid(i) * jax.nn.sigmoid(tn_t)
+                     * jnp.tanh(j))
+            m_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            c = mt * c_new + (1.0 - mt) * c
+            m = mt * m_new + (1.0 - mt) * m
+
+            if run_g2:
+                gates2 = jax.nn.sigmoid(xg2_t + h2 @ g2_Whg)
+                r2, u2 = jnp.split(gates2, 2, axis=-1)
+                cand2 = jnp.tanh(xc2_t + (r2 * h2) @ g2_Whc + g2_bc)
+                h2n = u2 * h2 + (1.0 - u2) * cand2
+                h2 = mt * h2n + (1.0 - mt) * h2
+
+            return (h1, c, m, h2), mt * m_new
+
+        (h1_f, _, _, h2_f), outs = jax.lax.scan(
+            step, (h1_0, c0, m0, h2_0),
+            tuple(_to_time_major(x) for x in
+                  (xg1, xc1, xw, tn_state, tl_state, o_time, xg2, xc2))
+            + (_to_time_major(mask),))
+
+        return h1_f, _to_batch_major(outs), h2_f

@@ -21,9 +21,11 @@ import orbax.checkpoint as ocp
 
 from clsr_tpu.config import Config
 from clsr_tpu.data.loader import SequenceLoader
+from clsr_tpu.data.prefetch import prefetch_to_device
 from clsr_tpu.training.evaluator import run_weighted_eval
 from clsr_tpu.training.state import TrainState, create_train_state
 from clsr_tpu.training.steps import make_eval_step, make_train_step
+from clsr_tpu.utils.summaries import SummaryWriter
 
 
 class Trainer:
@@ -38,6 +40,7 @@ class Trainer:
         self.best_epoch = 0
         self.eval_history: List[Tuple[int, Dict[str, float]]] = []
         self._ckpt = ocp.StandardCheckpointer() if cfg.model_dir else None
+        self.summary = SummaryWriter(cfg.summaries_dir, cfg.write_tfevents)
 
     # ------------------------------------------------------------------
     def fit(self, train_loader: SequenceLoader,
@@ -66,9 +69,11 @@ class Trainer:
             t0 = time.time()
             epoch_loss = 0.0
             n_steps = 0
-            for batch in train_loader.train_batches(
-                    cfg.batch_size, np_rng,
-                    min_seq_length=cfg.min_seq_length):
+            batches = train_loader.train_batches(
+                cfg.batch_size, np_rng, min_seq_length=cfg.min_seq_length)
+            if cfg.prefetch_batches > 0:
+                batches = prefetch_to_device(batches, cfg.prefetch_batches)
+            for batch in batches:
                 rng, sub = jax.random.split(rng)
                 self.state, parts = self.train_step(self.state, batch, sub)
                 step += 1
@@ -77,6 +82,13 @@ class Trainer:
                     self.log(
                         f"step {step}, total_loss: {float(parts.loss):.4f}, "
                         f"data_loss: {float(parts.data_loss):.4f}")
+                    self.summary.scalars(step, {
+                        "loss": parts.loss,
+                        "data_loss": parts.data_loss,
+                        "regular_loss": parts.regular_loss,
+                        "contrastive_loss": parts.contrastive_loss,
+                        "discrepancy_loss": parts.discrepancy_loss,
+                    })
                 epoch_loss += float(parts.loss)
             train_time = time.time() - t0
 
@@ -90,6 +102,8 @@ class Trainer:
             self.log(f"epoch {epoch} train time {train_time:.1f}s "
                      f"({n_steps} steps), eval time {eval_time:.1f}s")
             self.eval_history.append((epoch, valid_res))
+            self.summary.scalars(step, {f"valid/{k}": v
+                                        for k, v in valid_res.items()})
 
             progress = False
             if valid_res[cfg.eval_metric] > best_metric:
