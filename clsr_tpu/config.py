@@ -174,6 +174,9 @@ class Config:
     # NextItNet
     dilations: Tuple[int, ...] = (1, 2, 4, 1, 2, 4)
     kernel_size: int = 3
+    nextitnet_per_position: bool = True  # reference per-position training
+                                         # (nextitnet_iterator.py + the
+                                         # softmax reshape base_model:218-228)
     # NCF
     ncf_layer_sizes: Tuple[int, ...] = (80, 40)
     # LightGCN-style (lgn)
@@ -216,6 +219,7 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
     use_fused_encoders: bool = True   # one-scan CLSR recurrences (ops/fused_clsr.py)
+    train_steps_per_call: int = 8     # K steps per dispatch (steps.py:make_multi_train_step)
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)
     prefetch_batches: int = 2
@@ -261,6 +265,11 @@ class Config:
             raise ValueError(f"contrastive_loss must be bpr or triplet, got {self.contrastive_loss}")
         if self.sequential_model not in ("gru", "lstm", "time4lstm"):
             raise ValueError(f"sequential_model not defined: {self.sequential_model}")
+        if model == "lgn" and self.optimizer == "lazyadam":
+            # LGN's graph convolution produces DENSE table gradients;
+            # lazy row updates would silently drop most of them
+            raise ValueError("lazyadam is not valid for lgn (dense table "
+                             "gradients from the graph convolution)")
         if model == "clsr" and self.hidden_size != self.target_dim:
             # the alpha fusion adds att_fea_long (history dim = item+cate)
             # to att_fea_short (RNN hidden dim) — clsr.py:265; the taobao

@@ -142,12 +142,15 @@ class SequentialModelBase(nn.Module):
 
         aux = dict(aux)
         aux["embed_sumsq"] = aux.get("embed_sumsq", 0.0) + embed_sumsq
-        # on-device supervised-attention label: fraction of history sharing
-        # the target's category (sequential_iterator.py:619,630,682)
-        denom = jnp.maximum(batch.mask.sum(-1), 1.0)
-        same_cate = (batch.cate_hist[:, None, :] == batch.cates[:, :, None])
-        aux["attn_labels"] = (
-            (same_cate * batch.mask[:, None, :]).sum(-1) / denom[:, None])
+        if batch.cates.ndim == 2:
+            # on-device supervised-attention label: fraction of history
+            # sharing the target's category (sequential_iterator.py:619,682)
+            denom = jnp.maximum(batch.mask.sum(-1), 1.0)
+            same_cate = (batch.cate_hist[:, None, :]
+                         == batch.cates[:, :, None])
+            aux["attn_labels"] = (
+                (same_cate * batch.mask[:, None, :]).sum(-1)
+                / denom[:, None])
         return logits, aux
 
     def head(self, model_output: jnp.ndarray, train: bool) -> jnp.ndarray:

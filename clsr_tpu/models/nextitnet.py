@@ -84,12 +84,19 @@ class NextItNetModel(SequentialModelBase):
 
     def seq_graph(self, ctx: EmbedContext, batch: Batch, train: bool):
         cfg = self.cfg
-        B, G = batch.items.shape
         hist = right_align(ctx.hist_input, batch.mask)
         channels = hist.shape[-1]
         for layer_id, dilation in enumerate(cfg.dilations):
             hist = self._residual_block(hist, dilation, layer_id, channels,
                                         cfg.kernel_size)
+        if batch.items.ndim == 3:
+            # per-position training (nextitnet.py:77-91 _training_output):
+            # every time step is an instance, targets [B, G, L]
+            B, G, L = batch.items.shape
+            dilate_g = jnp.broadcast_to(hist[:, None, :, :],
+                                        (B, G, L, channels))
+            return jnp.concatenate([dilate_g, ctx.target_emb], -1), {}
+        B, G = batch.items.shape
         last = hist[:, -1, :]                              # last real event
         last_g = jnp.broadcast_to(last[:, None, :], (B, G, channels))
         return jnp.concatenate([last_g, ctx.target_emb], -1), {}

@@ -69,7 +69,13 @@ def layer_param_sums(params) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def data_loss_fn(cfg: Config, logits: jnp.ndarray, labels: jnp.ndarray,
                  valid: jnp.ndarray) -> jnp.ndarray:
-    """logits/labels [B, G], valid [B]."""
+    """logits/labels [B, G] (or [B, G, L] per-position — NextItNet's
+    transpose-to-(row, position) groups, base_model.py:218-228), valid [B]."""
+    if logits.ndim == 3:
+        B, G, L = logits.shape
+        logits = jnp.moveaxis(logits, 2, 1).reshape(B * L, G)
+        labels = jnp.moveaxis(labels, 2, 1).reshape(B * L, G)
+        valid = jnp.repeat(valid, L)
     G = logits.shape[1]
     w = valid  # [B]
     n_valid = jnp.maximum(w.sum(), 1.0)

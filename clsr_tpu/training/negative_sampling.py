@@ -50,6 +50,51 @@ def sample_in_batch_negatives(rng: jax.Array, items: jnp.ndarray,
     return items[idx], cates[idx]
 
 
+def expand_nextitnet(rng: jax.Array, batch: Batch, num_ngs: int) -> Batch:
+    """Per-position targets for NextItNet training.
+
+    Mirrors NextItNetIterator._convert_data (nextitnet_iterator.py:100-215):
+    with the history right-aligned, the positive target at position t is
+    the NEXT history event (and the line's target item at the last
+    position); negatives are drawn per position from the batch's line-level
+    positive items, rejecting the position's own positive.  Labels are
+    all-1 rows for the positive copy, all-0 for negatives — including
+    padded positions, which the reference does not mask either.
+
+    Returns a batch whose items/cates/labels have shape [B, G, L].
+    """
+    from clsr_tpu.models.nextitnet import right_align
+
+    B, L = batch.item_hist.shape
+    # right-aligned history (the reference iterator pads in front)
+    hist_r = right_align(batch.item_hist[..., None],
+                         batch.mask)[..., 0].astype(jnp.int32)
+    cate_r = right_align(batch.cate_hist[..., None],
+                         batch.mask)[..., 0].astype(jnp.int32)
+    pos_items = jnp.concatenate(
+        [hist_r[:, 1:], batch.items[:, :1]], axis=1)          # [B, L]
+    pos_cates = jnp.concatenate(
+        [cate_r[:, 1:], batch.cates[:, :1]], axis=1)
+
+    line_items = batch.items[:, 0]
+    line_cates = batch.cates[:, 0]
+    n_valid = jnp.maximum(batch.valid.astype(jnp.int32).sum(), 1)
+    rounds = 8
+    keys = jax.random.split(rng, rounds)
+    idx = jax.random.randint(keys[0], (B, num_ngs, L), 0, n_valid)
+    for r in range(1, rounds):
+        collide = line_items[idx] == pos_items[:, None, :]
+        fresh = jax.random.randint(keys[r], (B, num_ngs, L), 0, n_valid)
+        idx = jnp.where(collide, fresh, idx)
+    neg_items = line_items[idx]                               # [B, n, L]
+    neg_cates = line_cates[idx]
+
+    items = jnp.concatenate([pos_items[:, None, :], neg_items], axis=1)
+    cates = jnp.concatenate([pos_cates[:, None, :], neg_cates], axis=1)
+    labels = jnp.zeros_like(items, jnp.float32).at[:, 0, :].set(1.0)
+    return batch.replace(items=items, cates=cates, labels=labels)
+
+
 def expand_with_negatives(rng: jax.Array, batch: Batch, num_ngs: int) -> Batch:
     """[B]-row positive batch -> grouped batch with G = 1 + num_ngs targets.
 

@@ -27,9 +27,17 @@ def create_train_state(model, cfg: Config, sample_batch: Batch,
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         sample_batch, train=True)
+    params = variables["params"]
+    stats = variables.get("batch_stats", flax.core.freeze({}))
+    if cfg.optimizer == "lazyadam":
+        # sparse row-wise Adam on embedding tables; the train step applies
+        # updates itself (training/lazy_adam.py), apply_gradients is unused
+        from clsr_tpu.training.lazy_adam import make_lazy_optimizer
+        init_fn, _ = make_lazy_optimizer(cfg)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), apply_fn=model.apply,
+            params=params, tx=None, opt_state=init_fn(params),
+            batch_stats=stats)
     return TrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", flax.core.freeze({})),
-        tx=build_optimizer(cfg),
-    )
+        apply_fn=model.apply, params=params, batch_stats=stats,
+        tx=build_optimizer(cfg))

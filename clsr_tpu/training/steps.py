@@ -28,11 +28,23 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
     (1 + train_num_ngs candidate targets per row).
     """
     num_ngs = cfg.train_num_ngs
+    lazy_update = None
+    if cfg.optimizer == "lazyadam":
+        from clsr_tpu.training.lazy_adam import (batch_table_ids,
+                                                 make_lazy_optimizer)
+        _, lazy_update = make_lazy_optimizer(cfg)
+    per_position = (cfg.model_type == "nextitnet"
+                    and cfg.nextitnet_per_position)
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         rng_samp, rng_drop = jax.random.split(rng)
         if cfg.need_sample and num_ngs > 0:
-            batch = expand_with_negatives(rng_samp, batch, num_ngs)
+            if per_position:
+                from clsr_tpu.training.negative_sampling import \
+                    expand_nextitnet
+                batch = expand_nextitnet(rng_samp, batch, num_ngs)
+            else:
+                batch = expand_with_negatives(rng_samp, batch, num_ngs)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -44,7 +56,13 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
             return parts.loss, (parts, mutated.get("batch_stats", state.batch_stats))
 
         grads, (parts, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
+        if lazy_update is not None:
+            new_params, new_opt = lazy_update(
+                state.params, grads, state.opt_state, batch_table_ids(batch))
+            state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt)
+        else:
+            state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         return state, parts
 
@@ -55,6 +73,40 @@ def make_train_step(model, cfg: Config, donate: bool = True) -> Callable:
     """Jitted single-device train step."""
     return jax.jit(make_train_step_fn(model, cfg),
                    donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(model, cfg: Config, steps_per_call: int,
+                          donate: bool = True) -> Callable:
+    """K train steps per dispatch: scan over a [K, B, ...]-stacked batch.
+
+    Per-call host->device dispatch costs dominate this model's ~0.1ms
+    device step (measured ~0.7ms/call on the v5e tunnel); batching K steps
+    into one `lax.scan` amortizes it K-fold.  Semantics are identical to K
+    sequential train_step calls with rngs fold_in(rng, 0..K-1).
+
+    Returns multi_step(state, stacked_batch, rng) -> (state, LossParts[K]).
+    """
+    raw = make_train_step_fn(model, cfg)
+
+    def multi(state: TrainState, batches: Batch, rng: jax.Array):
+        def body(st, inp):
+            i, batch = inp
+            st, parts = raw(st, batch, jax.random.fold_in(rng, i))
+            return st, parts
+
+        idx = jnp.arange(steps_per_call)
+        state, parts = jax.lax.scan(body, state, (idx, batches))
+        return state, parts
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches) -> Batch:
+    """Stack K same-shape host batches into one [K, B, ...] pytree."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, axis=0), *batches)
 
 
 def make_eval_step(model, cfg: Config) -> Callable:

@@ -24,7 +24,8 @@ from clsr_tpu.data.loader import SequenceLoader
 from clsr_tpu.data.prefetch import prefetch_to_device
 from clsr_tpu.training.evaluator import run_weighted_eval
 from clsr_tpu.training.state import TrainState, create_train_state
-from clsr_tpu.training.steps import make_eval_step, make_train_step
+from clsr_tpu.training.steps import (make_eval_step, make_multi_train_step,
+                                     make_train_step, stack_batches)
 from clsr_tpu.utils.summaries import SummaryWriter
 
 
@@ -37,6 +38,10 @@ class Trainer:
         self.state = create_train_state(model, cfg, sample_batch, rng)
         self.train_step = make_train_step(model, cfg)
         self.eval_step = make_eval_step(model, cfg)
+        self._multi_step = None
+        if cfg.train_steps_per_call > 1:
+            self._multi_step = make_multi_train_step(
+                model, cfg, cfg.train_steps_per_call)
         self.best_epoch = 0
         self.eval_history: List[Tuple[int, Dict[str, float]]] = []
         self._ckpt = ocp.StandardCheckpointer() if cfg.model_dir else None
@@ -69,27 +74,48 @@ class Trainer:
             t0 = time.time()
             epoch_loss = 0.0
             n_steps = 0
+            def emit(n_new, parts, scale=1.0):
+                nonlocal step, n_steps, epoch_loss
+                prev = step
+                step += n_new
+                n_steps += n_new
+                loss = float(parts.loss) * scale / max(n_new, 1)
+                epoch_loss += float(parts.loss) * scale
+                if cfg.show_step and step // cfg.show_step > prev // cfg.show_step:
+                    self.log(
+                        f"step {step}, total_loss: {loss:.4f}, "
+                        f"data_loss: "
+                        f"{float(parts.data_loss) * scale / max(n_new, 1):.4f}")
+                    self.summary.scalars(step, {
+                        "loss": loss,
+                        "data_loss": float(parts.data_loss) * scale / max(n_new, 1),
+                    })
+
+            K = cfg.train_steps_per_call
             batches = train_loader.train_batches(
                 cfg.batch_size, np_rng, min_seq_length=cfg.min_seq_length)
-            if cfg.prefetch_batches > 0:
-                batches = prefetch_to_device(batches, cfg.prefetch_batches)
-            for batch in batches:
-                rng, sub = jax.random.split(rng)
-                self.state, parts = self.train_step(self.state, batch, sub)
-                step += 1
-                n_steps += 1
-                if cfg.show_step and step % cfg.show_step == 0:
-                    self.log(
-                        f"step {step}, total_loss: {float(parts.loss):.4f}, "
-                        f"data_loss: {float(parts.data_loss):.4f}")
-                    self.summary.scalars(step, {
-                        "loss": parts.loss,
-                        "data_loss": parts.data_loss,
-                        "regular_loss": parts.regular_loss,
-                        "contrastive_loss": parts.contrastive_loss,
-                        "discrepancy_loss": parts.discrepancy_loss,
-                    })
-                epoch_loss += float(parts.loss)
+            if self._multi_step is not None:
+                chunk = []
+                for batch in batches:
+                    chunk.append(batch)
+                    if len(chunk) == K:
+                        rng, sub = jax.random.split(rng)
+                        self.state, parts = self._multi_step(
+                            self.state, stack_batches(chunk), sub)
+                        emit(K, jax.tree_util.tree_map(
+                            lambda x: x.sum(), parts))
+                        chunk = []
+                for batch in chunk:  # tail: single steps
+                    rng, sub = jax.random.split(rng)
+                    self.state, parts = self.train_step(self.state, batch, sub)
+                    emit(1, parts)
+            else:
+                if cfg.prefetch_batches > 0:
+                    batches = prefetch_to_device(batches, cfg.prefetch_batches)
+                for batch in batches:
+                    rng, sub = jax.random.split(rng)
+                    self.state, parts = self.train_step(self.state, batch, sub)
+                    emit(1, parts)
             train_time = time.time() - t0
 
             t0 = time.time()
