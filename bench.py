@@ -8,10 +8,21 @@ using the framework's recommended production settings:
 
   * lazyadam — sparse row-wise Adam on the embedding tables, one of the
     reference's own optimizer options (base_model.py:275-276);
-  * train_steps_per_call=16 — 16 optimizer steps per dispatch via
-    lax.scan (training/steps.py:make_multi_train_step), amortizing the
-    host->device call overhead that otherwise dominates this model's
-    ~0.1 ms device step.
+  * 16 optimizer steps per dispatch via lax.scan
+    (training/steps.py:make_multi_train_step), amortizing host->device
+    call overhead.
+
+Each step's batch is synthesized ON DEVICE from a per-step rng key
+(random ids + lengths, the same distribution the host generator uses), so
+per-call traffic is just the donated train state + one key.  This measures
+chip training throughput; in production the host pipeline overlaps batch
+uploads with compute (clsr_tpu/data/prefetch.py).  The dev chip is reached
+through a relay whose upload path (~140MB/s, sometimes re-shipping
+resident buffers) would otherwise dominate and measure the network, not
+the TPU.
+
+Execution sanity is asserted: fresh rng + donated state make calls
+uncacheable, and per-call losses must evolve and stay finite.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -35,54 +46,86 @@ N_ITEMS = 100_000
 N_CATES = 5_000
 N_USERS = 50_000
 BATCH = 512
+SEQ = 50
 STEPS_PER_CALL = 16
-WARMUP_CALLS = 6   # the tunneled chip's first post-compile calls can stall
+WARMUP_CALLS = 6
 CALLS = 20
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _taobao_cfg, _tiny_batch
+    from clsr_tpu.data.batch import Batch
     from clsr_tpu.models.registry import get_model_class
     from clsr_tpu.training.state import create_train_state
-    from clsr_tpu.training.steps import (make_multi_train_step,
-                                         stack_batches)
+    from clsr_tpu.training.steps import make_train_step_fn
 
     cfg = _taobao_cfg(batch_size=BATCH, optimizer="lazyadam",
                       train_steps_per_call=STEPS_PER_CALL)
     model = get_model_class("clsr")(
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
 
-    # ONE device-resident stack of K batches, reused across calls.  The
-    # benchmark measures CHIP training throughput; in production the host
-    # pipeline overlaps uploads with compute (data/prefetch.py).  On this
-    # tunneled dev chip, rotating freshly-uploaded stacks would measure the
-    # relay's ~140MB/s upload path instead of the TPU.
-    group = [_tiny_batch(B=BATCH, L=cfg.max_seq_length, n_items=N_ITEMS,
-                         n_cates=N_CATES, rng_seed=i)
-             for i in range(STEPS_PER_CALL)]
-    stack = jax.device_put(stack_batches(group))
+    def device_batch(key):
+        """On-device synthetic batch, same distribution as _tiny_batch."""
+        ks = jax.random.split(key, 8)
+        lengths = jax.random.randint(ks[0], (BATCH,), 1, SEQ + 1)
+        mask = (jnp.arange(SEQ)[None, :] < lengths[:, None]).astype(
+            jnp.float32)
+        ri = lambda k, shape, hi: jax.random.randint(k, shape, 1, hi)
+        return Batch(
+            users=jax.random.randint(ks[1], (BATCH,), 0, N_USERS,
+                                     dtype=jnp.int32),
+            items=ri(ks[2], (BATCH, 1), N_ITEMS).astype(jnp.int32),
+            cates=ri(ks[3], (BATCH, 1), N_CATES).astype(jnp.int32),
+            labels=jnp.ones((BATCH, 1), jnp.float32),
+            item_hist=(ri(ks[4], (BATCH, SEQ), N_ITEMS)
+                       * mask).astype(jnp.int32),
+            cate_hist=(ri(ks[5], (BATCH, SEQ), N_CATES)
+                       * mask).astype(jnp.int32),
+            mask=mask,
+            time_diff=jax.random.uniform(ks[6], (BATCH, SEQ)) * mask,
+            time_from_first=jax.random.uniform(ks[7], (BATCH, SEQ)) * mask,
+            time_to_now=jax.random.uniform(ks[6], (BATCH, SEQ)) * mask,
+            valid=jnp.ones((BATCH,), jnp.float32),
+        )
 
-    state = create_train_state(model, cfg, group[0])
-    multi = make_multi_train_step(model, cfg, STEPS_PER_CALL)
+    raw_step = make_train_step_fn(model, cfg)
+
+    @jax.jit
+    def bench_call(state, rng):
+        def body(st, i):
+            k = jax.random.fold_in(rng, i)
+            batch = device_batch(jax.random.fold_in(k, 0))
+            st, parts = raw_step(st, batch, jax.random.fold_in(k, 1))
+            return st, parts.loss
+        return jax.lax.scan(body, state, jnp.arange(STEPS_PER_CALL))
+
+    bench_call = jax.jit(bench_call, donate_argnums=(0,))
+
+    sample = _tiny_batch(B=BATCH, L=SEQ, n_items=N_ITEMS, n_cates=N_CATES)
+    state = create_train_state(model, cfg, sample)
     rng = jax.random.PRNGKey(0)
 
     for _ in range(WARMUP_CALLS):
         rng, sub = jax.random.split(rng)
-        state, parts = multi(state, stack, sub)
-        jax.block_until_ready(parts.loss)
+        state, losses = bench_call(state, sub)
+        jax.block_until_ready(losses)
 
     times = []
+    loss_trace = []
     for _ in range(CALLS):
         t0 = time.perf_counter()
         rng, sub = jax.random.split(rng)
-        state, parts = multi(state, stack, sub)
-        jax.block_until_ready(parts.loss)
+        state, losses = bench_call(state, sub)
+        jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
+        loss_trace.append(float(losses[-1]))
 
-    # median per-call time: robust to sporadic multi-hundred-ms stalls of
-    # the tunneled device (observed once after warmup)
+    assert all(np.isfinite(l) for l in loss_trace), loss_trace
+    assert len(set(loss_trace)) > 1, "losses identical across calls"
+
     times.sort()
     dt = times[len(times) // 2]
     examples_per_sec = BATCH * STEPS_PER_CALL / dt

@@ -219,6 +219,7 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
     use_fused_encoders: bool = True   # one-scan CLSR recurrences (ops/fused_clsr.py)
+    use_pallas_scan: bool = False     # hand-written recurrence kernel (ops/pallas_scan.py)
     train_steps_per_call: int = 8     # K steps per dispatch (steps.py:make_multi_train_step)
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)

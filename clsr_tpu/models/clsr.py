@@ -98,6 +98,7 @@ class CLSRModel(SequentialModelBase):
                 cfg.user_embedding_dim, cfg.hidden_size,
                 interest_evolve=cfg.interest_evolve,
                 predict_long_short=cfg.predict_long_short,
+                use_pallas=cfg.use_pallas_scan,
                 name="fused_encoders",
             )(hist, batch.time_from_first, batch.time_to_now, mask,
               user_short)

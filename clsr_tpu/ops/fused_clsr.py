@@ -42,6 +42,7 @@ class FusedCLSREncoder(nn.Module):
     hidden_size: int
     interest_evolve: bool = True
     predict_long_short: bool = True
+    use_pallas: bool = False   # hand-written TPU kernel (ops/pallas_scan.py)
 
     @nn.compact
     def __call__(self, hist: jnp.ndarray, t_last: jnp.ndarray,
@@ -111,6 +112,15 @@ class FusedCLSREncoder(nn.Module):
 
         run_g1 = self.interest_evolve
         run_g2 = self.predict_long_short
+
+        if self.use_pallas and run_g1 and run_g2:
+            from clsr_tpu.ops.pallas_scan import fused_scan
+            # kernel contract: candidate biases folded into the projections
+            h1_f, outs, h2_f = fused_scan(
+                xg1, xc1 + g1_bc, xw, tn_state, tl_state, o_time,
+                xg2, xc2 + g2_bc, mask, user_short,
+                g1_Whg, g1_Whc, t4l_Wh, g2_Whg, g2_Whc)
+            return h1_f, outs, h2_f
 
         h1_0 = user_short
         c0 = jnp.zeros((B, H), hist.dtype)
