@@ -93,7 +93,6 @@ def main():
 
     raw_step = make_train_step_fn(model, cfg)
 
-    @jax.jit
     def bench_call(state, rng):
         def body(st, i):
             k = jax.random.fold_in(rng, i)
@@ -121,8 +120,11 @@ def main():
         state, losses = bench_call(state, sub)
         jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
-        loss_trace.append(float(losses[-1]))
+        # keep the device scalar; host download happens AFTER timing (a
+        # device->host read through the relay costs ~140ms of latency)
+        loss_trace.append(losses[-1])
 
+    loss_trace = [float(l) for l in loss_trace]
     assert all(np.isfinite(l) for l in loss_trace), loss_trace
     assert len(set(loss_trace)) > 1, "losses identical across calls"
 
