@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional
 
+import jax
 import numpy as np
 
 from clsr_tpu.config import Config
@@ -30,27 +31,33 @@ def run_weighted_eval(eval_step: Callable, state, loader: SequenceLoader,
     if batch_groups is None:
         batch_groups = max(1, cfg.batch_size // group)
 
-    users_all, preds_all, labels_all, alphas_all = [], [], [], []
-    group_preds, group_labels = [], []
-
+    # Phase 1: dispatch all eval steps, keeping predictions ON DEVICE —
+    # device->host reads inside the loop would serialize on transfer
+    # latency (severe through remote-attached chips).
+    pending = []
     for batch in loader.eval_batches(group_size=group,
                                      batch_groups=batch_groups,
                                      min_seq_length=cfg.min_seq_length):
         preds, alpha = eval_step(state, batch)
-        preds = np.asarray(preds)
-        alpha = np.asarray(alpha)
         nv = int(batch.valid.sum())
-        labels = np.asarray(batch.labels)[:nv]
-        preds = preds[:nv]
-        users = np.asarray(batch.users)[:nv]
+        pending.append((batch, preds, alpha, nv))
 
+    # Phase 2: one bulk device->host transfer, then metric assembly
+    fetched = jax.device_get([(p, a) for _, p, a, _ in pending])
+
+    users_all, preds_all, labels_all, alphas_all = [], [], [], []
+    group_preds, group_labels = [], []
+    for (batch, _, _, nv), (preds, alpha) in zip(pending, fetched):
+        preds = np.asarray(preds)[:nv]
+        labels = np.asarray(batch.labels)[:nv]
+        users = np.asarray(batch.users)[:nv]
         group_preds.append(preds)
         group_labels.append(labels)
         users_all.append(np.repeat(users, group))
         preds_all.append(preds.reshape(-1))
         labels_all.append(labels.reshape(-1))
         if calc_mean_alpha:
-            alphas_all.append(alpha[:nv].reshape(-1))
+            alphas_all.append(np.asarray(alpha)[:nv].reshape(-1))
 
     users = np.concatenate(users_all)
     preds = np.concatenate(preds_all)
