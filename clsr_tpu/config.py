@@ -266,6 +266,11 @@ class Config:
             raise ValueError(f"contrastive_loss must be bpr or triplet, got {self.contrastive_loss}")
         if self.sequential_model not in ("gru", "lstm", "time4lstm"):
             raise ValueError(f"sequential_model not defined: {self.sequential_model}")
+        if (self.data_parallel > 1
+                and self.batch_size % self.data_parallel != 0):
+            raise ValueError(
+                f"batch_size {self.batch_size} must divide evenly over "
+                f"data_parallel={self.data_parallel}")
         if model == "lgn" and self.optimizer == "lazyadam":
             # LGN's graph convolution produces DENSE table gradients;
             # lazy row updates would silently drop most of them

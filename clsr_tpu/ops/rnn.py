@@ -205,6 +205,29 @@ class Time4LSTM(nn.Module):
         return _to_batch_major(outs), (c_f, m_f)
 
 
+class Time4ALSTM(nn.Module):
+    """Attention-blended Time4LSTM (rnn_cell_implement.py:301-555).
+
+    Identical to Time4LSTM except a per-step attention score blends the
+    new cell/output states: `c = a*c + (1-a)*c`, `m = a*m + (1-a)*m`
+    (rnn_cell_implement.py:548-549) — algebraically the IDENTITY, kept
+    literally for parity.  The cell is dead code in the reference (never
+    instantiated by any model); provided for inventory completeness.
+    """
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t_last: jnp.ndarray,
+                 t_now: jnp.ndarray, att_scores: jnp.ndarray,
+                 mask: jnp.ndarray):
+        outs, (c_f, m_f) = Time4LSTM(self.hidden_size, name="t4l")(
+            x, t_last, t_now, mask)
+        a = att_scores[..., None]
+        outs = a * outs + (1.0 - a) * outs
+        return outs, (c_f, m_f)
+
+
 class VecAttGRU(nn.Module):
     """Attention-modulated GRU (DIEN; rnn_cell_implement.py:558-623).
 

@@ -36,12 +36,47 @@ class Trainer:
         self.cfg = cfg
         self.log = log
         self.state = create_train_state(model, cfg, sample_batch, rng)
-        self.train_step = make_train_step(model, cfg)
-        self.eval_step = make_eval_step(model, cfg)
-        self._multi_step = None
-        if cfg.train_steps_per_call > 1:
-            self._multi_step = make_multi_train_step(
-                model, cfg, cfg.train_steps_per_call)
+        self._mesh = None
+        self._batch_sharding = None
+        if cfg.data_parallel * cfg.model_parallel > 1:
+            # mesh-parallel path: batch over 'data', tables row-sharded
+            # over 'model' (parallel/mesh.py)
+            from clsr_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                make_sharded_train_step,
+                                                place_state, shard_batch)
+            self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
+            shard_emb = cfg.model_parallel > 1
+            base_state = self.state
+            self.state = place_state(base_state, self._mesh, shard_emb)
+            self.train_step = make_sharded_train_step(
+                model, cfg, self._mesh, base_state, shard_emb)
+            self._batch_sharding = batch_sharding(self._mesh)
+            inner_eval = make_eval_step(model, cfg)
+            mesh = self._mesh
+            n_data = cfg.data_parallel
+
+            def sharded_eval(state, batch):
+                rows = batch.users.shape[0]
+                pad = (-rows) % n_data
+                if pad:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: np.concatenate(
+                            [np.asarray(x),
+                             np.zeros((pad,) + np.asarray(x).shape[1:],
+                                      np.asarray(x).dtype)]),
+                        batch)
+                preds, alpha = inner_eval(state, shard_batch(batch, mesh))
+                return preds[:rows], alpha[:rows]
+
+            self.eval_step = sharded_eval
+            self._multi_step = None   # K-step dispatch: single-device path
+        else:
+            self.train_step = make_train_step(model, cfg)
+            self.eval_step = make_eval_step(model, cfg)
+            self._multi_step = None
+            if cfg.train_steps_per_call > 1:
+                self._multi_step = make_multi_train_step(
+                    model, cfg, cfg.train_steps_per_call)
         self.best_epoch = 0
         self.eval_history: List[Tuple[int, Dict[str, float]]] = []
         self._ckpt = ocp.StandardCheckpointer() if cfg.model_dir else None
@@ -111,7 +146,9 @@ class Trainer:
                     emit(1, parts)
             else:
                 if cfg.prefetch_batches > 0:
-                    batches = prefetch_to_device(batches, cfg.prefetch_batches)
+                    batches = prefetch_to_device(
+                        batches, cfg.prefetch_batches,
+                        sharding=self._batch_sharding)
                 for batch in batches:
                     rng, sub = jax.random.split(rng)
                     self.state, parts = self.train_step(self.state, batch, sub)
