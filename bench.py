@@ -28,13 +28,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference (TF1.15 graph mode, feed_dict, 3 dynamic_rnn
 while-loops per step, host-side negative sampling) publishes no throughput
-numbers (BASELINE.md).  We use an estimated 4,000 examples/s for the
-reference on a desktop GPU — consistent with feed_dict-bound TF1
-sequential recommenders at batch 500 — and report vs_baseline against it.
-The BASELINE.md target is >=5x.
+numbers (BASELINE.md).  A structural TF1-compat replica of the workload
+(scripts/baseline_tf1.py) MEASURES 618 examples/s on this host's 4-core
+CPU; vs_baseline is reported against an estimated 4,000 examples/s for the
+reference on its published "Linux desktop" hardware with a GPU (~6.5x the
+measured CPU figure — a generous allowance).  The BASELINE.md target is
+>=5x.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -54,6 +57,8 @@ CALLS = 20
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/clsr_tpu_xla"))
     import jax.numpy as jnp
 
     from __graft_entry__ import _taobao_cfg, _tiny_batch

@@ -138,6 +138,10 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     cfg = make_config(args)
 
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/clsr_tpu_xla"))
+
     from clsr_tpu.data.etl import data_preprocessing
     from clsr_tpu.data.graph import build_interaction_graph
     from clsr_tpu.data.loader import SequenceLoader
