@@ -65,6 +65,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--raw_data", default=None,
                    help="raw interaction CSV for on-demand preprocessing")
+    # ablation iterator variants (reference Recent/Shuffle SA iterators,
+    # sequential_iterator.py:735-793)
+    p.add_argument("--counterfactual_recent_k", type=int, default=None,
+                   help="keep only the last k history events (RecentSA)")
+    p.add_argument("--shuffle_history_seed", type=int, default=None,
+                   help="fixed per-user history shuffle (ShuffleSA)")
     # TPU-native extras
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--model_parallel", type=int, default=1)
@@ -188,7 +194,9 @@ def main(argv=None) -> int:
     loaders = {}
     for name, path in (("train", train_file), ("valid", valid_file),
                        ("test", test_file)):
-        ds = parse_file(path, uv, iv, cv, time_unit=cfg.time_unit)
+        ds = parse_file(path, uv, iv, cv, time_unit=cfg.time_unit,
+                        recent_k=args.counterfactual_recent_k,
+                        shuffle_seed=args.shuffle_history_seed)
         loaders[name] = SequenceLoader(ds, cfg.max_seq_length)
 
     kwargs = dict(cfg=cfg, n_users=len(uv), n_items=len(iv), n_cates=len(cv))
