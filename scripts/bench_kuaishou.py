@@ -1,0 +1,115 @@
+"""Kuaishou-scale throughput benchmark: max_seq_length 250, larger vocab.
+
+Same methodology as bench.py (on-device batch synthesis, K steps per
+dispatch, LazyAdam, median-of-calls, execution-sanity assertions) on the
+long-sequence configuration that is the forcing function for the scan and
+attention paths (SURVEY.md section 6).
+
+Usage: python scripts/bench_kuaishou.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_ITEMS = 500_000
+N_CATES = 2_000
+N_USERS = 100_000
+BATCH = 256
+SEQ = 250
+STEPS_PER_CALL = 8
+WARMUP_CALLS = 5
+CALLS = 12
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/clsr_tpu_xla"))
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _taobao_cfg, _tiny_batch
+    from clsr_tpu.data.batch import Batch
+    from clsr_tpu.models.registry import get_model_class
+    from clsr_tpu.training.state import create_train_state
+    from clsr_tpu.training.steps import make_train_step_fn
+
+    cfg = _taobao_cfg(batch_size=BATCH, optimizer="lazyadam",
+                      max_seq_length=SEQ, time_unit="ms",
+                      train_steps_per_call=STEPS_PER_CALL)
+    model = get_model_class("clsr")(
+        cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
+
+    def device_batch(key):
+        ks = jax.random.split(key, 8)
+        lengths = jax.random.randint(ks[0], (BATCH,), 1, SEQ + 1)
+        mask = (jnp.arange(SEQ)[None, :] < lengths[:, None]).astype(
+            jnp.float32)
+        ri = lambda k, shape, hi: jax.random.randint(k, shape, 1, hi)
+        return Batch(
+            users=jax.random.randint(ks[1], (BATCH,), 0, N_USERS,
+                                     dtype=jnp.int32),
+            items=ri(ks[2], (BATCH, 1), N_ITEMS).astype(jnp.int32),
+            cates=ri(ks[3], (BATCH, 1), N_CATES).astype(jnp.int32),
+            labels=jnp.ones((BATCH, 1), jnp.float32),
+            item_hist=(ri(ks[4], (BATCH, SEQ), N_ITEMS)
+                       * mask).astype(jnp.int32),
+            cate_hist=(ri(ks[5], (BATCH, SEQ), N_CATES)
+                       * mask).astype(jnp.int32),
+            mask=mask,
+            time_diff=jax.random.uniform(ks[6], (BATCH, SEQ)) * mask,
+            time_from_first=jax.random.uniform(ks[7], (BATCH, SEQ)) * mask,
+            time_to_now=jax.random.uniform(ks[6], (BATCH, SEQ)) * mask,
+            valid=jnp.ones((BATCH,), jnp.float32),
+        )
+
+    raw_step = make_train_step_fn(model, cfg)
+
+    def bench_call(state, rng):
+        def body(st, i):
+            k = jax.random.fold_in(rng, i)
+            st, parts = raw_step(st, device_batch(jax.random.fold_in(k, 0)),
+                                 jax.random.fold_in(k, 1))
+            return st, parts.loss
+        return jax.lax.scan(body, state, jnp.arange(STEPS_PER_CALL))
+
+    bench_call = jax.jit(bench_call, donate_argnums=(0,))
+
+    sample = _tiny_batch(B=BATCH, L=SEQ, n_items=N_ITEMS, n_cates=N_CATES)
+    state = create_train_state(model, cfg, sample)
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP_CALLS):
+        rng, sub = jax.random.split(rng)
+        state, losses = bench_call(state, sub)
+        jax.block_until_ready(losses)
+
+    times, trace = [], []
+    for _ in range(CALLS):
+        t0 = time.perf_counter()
+        rng, sub = jax.random.split(rng)
+        state, losses = bench_call(state, sub)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+        trace.append(losses[-1])
+    trace = [float(l) for l in trace]
+    assert all(np.isfinite(l) for l in trace), trace
+    assert len(set(trace)) > 1
+
+    times.sort()
+    dt = times[len(times) // 2]
+    print(json.dumps({
+        "metric": "clsr_train_throughput_1chip_kuaishou",
+        "value": round(BATCH * STEPS_PER_CALL / dt, 1),
+        "unit": "examples/sec",
+        "config": f"B={BATCH} L={SEQ} items={N_ITEMS}",
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
