@@ -65,6 +65,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--raw_data", default=None,
                    help="raw interaction CSV for on-demand preprocessing")
+    p.add_argument("--no_history_expanding", dest="is_history_expanding",
+                   action="store_false",
+                   help="one line per user instead of expanding prefixes "
+                        "(sequential_reviews.py:441-523)")
     # ablation iterator variants (reference Recent/Shuffle SA iterators,
     # sequential_iterator.py:735-793)
     p.add_argument("--counterfactual_recent_k", type=int, default=None,
@@ -182,6 +186,7 @@ def main(argv=None) -> int:
                 sample_rate=args.sample_rate,
                 valid_num_ngs=args.val_num_ngs,
                 test_num_ngs=args.test_num_ngs, dataset=args.dataset,
+                is_history_expanding=args.is_history_expanding,
                 seed=args.seed)
         else:
             raise SystemExit(
