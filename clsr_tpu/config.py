@@ -164,6 +164,11 @@ class Config:
     contrastive_length_threshold: int = 5
     contrastive_recent_k: int = 3
     attn_loss_weight: float = 0.001
+    use_attn_loss: bool = False   # OPT-IN extension: the reference defines
+                                  # attn_loss_weight (sequential.py:63,
+                                  # deeprec_utils.py:425) but never applies
+                                  # it; this adds the paper's supervised
+                                  # fusion loss mse(alpha, attn_labels)
     counterfactual_recent_k: int = 5
 
     # Caser

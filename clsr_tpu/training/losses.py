@@ -163,6 +163,21 @@ def discrepancy_loss_fn(cfg: Config, aux: Dict[str, Any]) -> jnp.ndarray:
     return -cfg.discrepancy_loss_weight * mean_sq
 
 
+def attn_loss_fn(cfg: Config, aux: Dict[str, Any], batch: Batch
+                 ) -> jnp.ndarray:
+    """Supervised fusion loss (opt-in extension, cfg.use_attn_loss):
+    attn_loss_weight * mse(alpha, attn_labels) over valid rows.  The
+    reference carries attn_loss_weight but never adds this term; the CLSR
+    paper's supervision of the fusion gate is exactly this quantity (the
+    reference logs its sqrt as a summary, clsr.py:267-271)."""
+    alpha = aux["alpha"]                     # [B, G]
+    labels = aux["attn_labels"]              # [B, G]
+    w = jnp.broadcast_to(batch.valid[:, None], alpha.shape)
+    denom = jnp.maximum(w.sum(), 1.0)
+    mse = ((alpha - labels) ** 2 * w).sum() / denom
+    return cfg.attn_loss_weight * mse
+
+
 def total_loss(cfg: Config, logits: jnp.ndarray, aux: Dict[str, Any],
                batch: Batch, params) -> LossParts:
     data = data_loss_fn(cfg, logits, batch.labels, batch.valid)
@@ -173,8 +188,11 @@ def total_loss(cfg: Config, logits: jnp.ndarray, aux: Dict[str, Any],
     else:
         contrastive = jnp.zeros(())
         discrepancy = jnp.zeros(())
+    loss = data + regular + contrastive + discrepancy
+    if (cfg.use_attn_loss and "alpha" in aux and "attn_labels" in aux):
+        loss = loss + attn_loss_fn(cfg, aux, batch)
     return LossParts(
-        loss=data + regular + contrastive + discrepancy,
+        loss=loss,
         data_loss=data,
         regular_loss=regular,
         contrastive_loss=contrastive,

@@ -147,3 +147,31 @@ def test_discrepancy_is_negative_mean_squared_diff():
     cfg = _cfg(discrepancy_loss_weight=0.01)
     got = float(LS.discrepancy_loss_fn(cfg, aux))
     assert got == pytest.approx(-0.01 * 3.0)
+
+
+def test_attn_loss_extension(rng):
+    import jax
+    from clsr_tpu.models.registry import get_model_class
+    from clsr_tpu.training.state import create_train_state
+    from clsr_tpu.training.steps import make_train_step
+    from tests.test_lazy_adam import _batch, L, B
+
+    batch = _batch(np.random.RandomState(0), 30, 6, 20)
+    results = {}
+    for use in (False, True):
+        cfg = Config(
+            model_type="clsr", user_vocab="u", item_vocab="i",
+            cate_vocab="c", max_seq_length=L, batch_size=B, train_num_ngs=2,
+            hidden_size=12, item_embedding_dim=8, cate_embedding_dim=4,
+            user_embedding_dim=12, layer_sizes=(16, 8),
+            att_fcn_layer_sizes=(12, 6), seed=0, use_attn_loss=use,
+            attn_loss_weight=10.0,
+        ).validate()
+        model = get_model_class("clsr")(cfg=cfg, n_users=20, n_items=30,
+                                        n_cates=6)
+        state = create_train_state(model, cfg, batch)
+        step = make_train_step(model, cfg, donate=False)
+        _, parts = step(state, batch, jax.random.PRNGKey(0))
+        results[use] = float(parts.loss)
+    # the supervised-attention term adds a positive contribution
+    assert results[True] > results[False]
