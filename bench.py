@@ -72,29 +72,8 @@ def main():
     model = get_model_class("clsr")(
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
 
-    def device_batch(key):
-        """On-device synthetic batch, same distribution as _tiny_batch."""
-        ks = jax.random.split(key, 8)
-        lengths = jax.random.randint(ks[0], (BATCH,), 1, SEQ + 1)
-        mask = (jnp.arange(SEQ)[None, :] < lengths[:, None]).astype(
-            jnp.float32)
-        ri = lambda k, shape, hi: jax.random.randint(k, shape, 1, hi)
-        return Batch(
-            users=jax.random.randint(ks[1], (BATCH,), 0, N_USERS,
-                                     dtype=jnp.int32),
-            items=ri(ks[2], (BATCH, 1), N_ITEMS).astype(jnp.int32),
-            cates=ri(ks[3], (BATCH, 1), N_CATES).astype(jnp.int32),
-            labels=jnp.ones((BATCH, 1), jnp.float32),
-            item_hist=(ri(ks[4], (BATCH, SEQ), N_ITEMS)
-                       * mask).astype(jnp.int32),
-            cate_hist=(ri(ks[5], (BATCH, SEQ), N_CATES)
-                       * mask).astype(jnp.int32),
-            mask=mask,
-            time_diff=jax.random.uniform(ks[6], (BATCH, SEQ)) * mask,
-            time_from_first=jax.random.uniform(ks[7], (BATCH, SEQ)) * mask,
-            time_to_now=jax.random.uniform(ks[6], (BATCH, SEQ)) * mask,
-            valid=jnp.ones((BATCH,), jnp.float32),
-        )
+    from clsr_tpu.data.synthetic import device_batch as _db
+    device_batch = lambda key: _db(key, BATCH, SEQ, N_ITEMS, N_CATES, N_USERS)
 
     raw_step = make_train_step_fn(model, cfg)
 

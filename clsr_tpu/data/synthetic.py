@@ -21,6 +21,37 @@ import numpy as np
 from clsr_tpu.data.vocab import Vocab
 
 
+def device_batch(key, batch_rows: int, seq_len: int, n_items: int,
+                 n_cates: int, n_users: int, G: int = 1):
+    """On-device random Batch (jit-friendly) — random ids, lengths and
+    time features matching the host generator's distribution.  Used by the
+    benchmarks so per-call host->device traffic is one rng key."""
+    import jax
+    import jax.numpy as jnp
+
+    from clsr_tpu.data.batch import Batch
+
+    B, L = batch_rows, seq_len
+    ks = jax.random.split(key, 8)
+    lengths = jax.random.randint(ks[0], (B,), 1, L + 1)
+    mask = (jnp.arange(L)[None, :] < lengths[:, None]).astype(jnp.float32)
+    ri = lambda k, shape, hi: jax.random.randint(k, shape, 1, hi)
+    labels = jnp.zeros((B, G), jnp.float32).at[:, 0].set(1.0)
+    return Batch(
+        users=jax.random.randint(ks[1], (B,), 0, n_users, dtype=jnp.int32),
+        items=ri(ks[2], (B, G), n_items).astype(jnp.int32),
+        cates=ri(ks[3], (B, G), n_cates).astype(jnp.int32),
+        labels=labels,
+        item_hist=(ri(ks[4], (B, L), n_items) * mask).astype(jnp.int32),
+        cate_hist=(ri(ks[5], (B, L), n_cates) * mask).astype(jnp.int32),
+        mask=mask,
+        time_diff=jax.random.uniform(ks[6], (B, L)) * mask,
+        time_from_first=jax.random.uniform(ks[7], (B, L)) * mask,
+        time_to_now=jax.random.uniform(ks[6], (B, L)) * mask,
+        valid=jnp.ones((B,), jnp.float32),
+    )
+
+
 def make_synthetic_events(n_users: int = 50, n_items: int = 200,
                           n_cates: int = 20, max_events: int = 30,
                           seed: int = 0, pref_strength: float = 0.8):

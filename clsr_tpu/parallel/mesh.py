@@ -155,3 +155,52 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
         out_shardings=(st_shard, parts_shard),
         donate_argnums=(0,),
     )
+
+
+def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
+                                  state: TrainState, steps_per_call: int,
+                                  shard_embeddings: bool = False):
+    """K sharded train steps per dispatch: lax.scan over a [K, B, ...]
+    stacked batch whose row axis is sharded over 'data'.  Composes the
+    dispatch amortization of make_multi_train_step with the mesh."""
+    import jax.numpy as jnp
+
+    from clsr_tpu.training.steps import make_train_step_fn
+
+    raw = make_train_step_fn(model, cfg)
+
+    def multi(st, batches, rng):
+        def body(s, inp):
+            i, batch = inp
+            return raw(s, batch, jax.random.fold_in(rng, i))
+
+        idx = jnp.arange(steps_per_call)
+        return jax.lax.scan(body, st, (idx, batches))
+
+    st_shard = state_sharding(state, mesh, shard_embeddings)
+    # stacked batches: [K, B, ...] with rows sharded over 'data'
+    stacked_b = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, P(None, "data")), batch_sharding(mesh))
+    replicated = NamedSharding(mesh, P())
+    from clsr_tpu.training.losses import LossParts
+    parts_shard = LossParts(loss=replicated, data_loss=replicated,
+                            regular_loss=replicated,
+                            contrastive_loss=replicated,
+                            discrepancy_loss=replicated)
+
+    return jax.jit(
+        multi,
+        in_shardings=(st_shard, stacked_b, replicated),
+        out_shardings=(st_shard, parts_shard),
+        donate_argnums=(0,),
+    )
+
+
+def shard_stacked_batches(batches, mesh: Mesh):
+    """Stack K host batches and place with [K, B('data'), ...] sharding."""
+    from clsr_tpu.training.steps import stack_batches
+
+    stacked = stack_batches(batches)
+    sharding = NamedSharding(mesh, P(None, "data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), sharding), stacked)

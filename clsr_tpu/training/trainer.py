@@ -38,6 +38,7 @@ class Trainer:
         self.state = create_train_state(model, cfg, sample_batch, rng)
         self._mesh = None
         self._batch_sharding = None
+        self._stack_fn = stack_batches
         if cfg.data_parallel * cfg.model_parallel > 1:
             # mesh-parallel path: batch over 'data', tables row-sharded
             # over 'model' (parallel/mesh.py)
@@ -69,11 +70,25 @@ class Trainer:
                 return preds[:rows], alpha[:rows]
 
             self.eval_step = sharded_eval
-            self._multi_step = None   # K-step dispatch: single-device path
+            self._multi_step = None
+            if cfg.train_steps_per_call > 1:
+                from clsr_tpu.parallel.mesh import (
+                    make_sharded_multi_train_step, shard_stacked_batches)
+                inner_multi = make_sharded_multi_train_step(
+                    model, cfg, self._mesh, base_state,
+                    cfg.train_steps_per_call, shard_emb)
+
+                def mesh_multi(st, batches_host_stack, rng):
+                    return inner_multi(st, batches_host_stack, rng)
+
+                self._multi_step = mesh_multi
+                self._stack_fn = (
+                    lambda chunk: shard_stacked_batches(chunk, mesh))
         else:
             self.train_step = make_train_step(model, cfg)
             self.eval_step = make_eval_step(model, cfg)
             self._multi_step = None
+            self._stack_fn = stack_batches
             if cfg.train_steps_per_call > 1:
                 self._multi_step = make_multi_train_step(
                     model, cfg, cfg.train_steps_per_call)
@@ -136,7 +151,7 @@ class Trainer:
                     if len(chunk) == K:
                         rng, sub = jax.random.split(rng)
                         self.state, parts = self._multi_step(
-                            self.state, stack_batches(chunk), sub)
+                            self.state, self._stack_fn(chunk), sub)
                         emit(K, jax.tree_util.tree_map(
                             lambda x: x.sum(), parts))
                         chunk = []

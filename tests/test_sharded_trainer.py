@@ -67,3 +67,32 @@ def test_time4alstm_blend_is_identity_but_runs():
     # the attention blend a*m + (1-a)*m is the identity (preserved quirk)
     np.testing.assert_allclose(np.asarray(outs_a), np.asarray(outs_b),
                                atol=1e-6)
+
+
+def test_trainer_mesh_multi_step(tmp_path):
+    """Mesh path with K-steps-per-dispatch enabled."""
+    paths = write_synthetic_dataset(str(tmp_path), n_users=20, n_items=40,
+                                    n_cates=6, test_num_ngs=4)
+    uv, iv, cv = (load_vocab(paths["user_vocab"]),
+                  load_vocab(paths["item_vocab"]),
+                  load_vocab(paths["cate_vocab"]))
+    loaders = {
+        n: SequenceLoader(parse_file(paths[n], uv, iv, cv), L)
+        for n in ("train", "valid")
+    }
+    cfg = Config(
+        model_type="gru4rec", user_vocab="u", item_vocab="i",
+        cate_vocab="c", max_seq_length=L, batch_size=16, train_num_ngs=2,
+        valid_num_ngs=4, hidden_size=8, item_embedding_dim=8,
+        cate_embedding_dim=4, user_embedding_dim=8, layer_sizes=(8,),
+        activation=("relu",), epochs=1, show_step=0, save_model=False,
+        seed=0, data_parallel=4, model_parallel=2, train_steps_per_call=3,
+    ).validate()
+    model = get_model_class("gru4rec")(cfg=cfg, n_users=len(uv),
+                                       n_items=len(iv), n_cates=len(cv))
+    sample = next(loaders["train"].train_batches(
+        cfg.batch_size, np.random.RandomState(0)))
+    trainer = Trainer(model, cfg, sample, log=lambda *a: None)
+    assert trainer._mesh is not None and trainer._multi_step is not None
+    trainer.fit(loaders["train"], loaders["valid"])
+    assert trainer.eval_history
