@@ -35,6 +35,13 @@ from clsr_tpu.ops.initializers import get_initializer
 from clsr_tpu.ops.mlp import FcnNet
 
 
+
+def compute_dtype(cfg: Config):
+    """None for float32 (default), else the jnp dtype for mixed precision."""
+    if cfg.compute_dtype in ("float32", "f32", None):
+        return None
+    return jnp.dtype(cfg.compute_dtype)
+
 def unique_rows_sumsq(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """sum(||table[id]||^2) over the UNIQUE ids, jit-safe.
 
@@ -161,6 +168,7 @@ class SequentialModelBase(nn.Module):
             cfg.layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
             out_dim=1, kernel_init=init,
             dropout_rates=cfg.dropout if cfg.user_dropout else None,
+            dtype=compute_dtype(cfg),
             name="logit_fcn",
         )(model_output, train=train)[..., 0]
 

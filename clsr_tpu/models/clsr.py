@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from clsr_tpu.models.base import (EmbedContext, SequentialModelBase,
-                                  unique_rows_stats)
+                                  compute_dtype, unique_rows_stats)
 from clsr_tpu.data.batch import Batch
 from clsr_tpu.ops.attention import TargetAttention
 from clsr_tpu.ops.fused_clsr import FusedCLSREncoder
@@ -77,7 +77,7 @@ class CLSRModel(SequentialModelBase):
         # ---- long term (clsr.py:152-157) --------------------------------
         att_fea_long = TargetAttention(
             cfg.att_fcn_layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            kernel_init=init, name="long_term_att",
+            kernel_init=init, dtype=compute_dtype(cfg), name="long_term_att",
         )(user_long, hist, mask, train=train)       # [B, 40]
         hist_mean = ((hist * mask[..., None]).sum(1)
                      / jnp.maximum(mask.sum(1, keepdims=True), 1.0))
@@ -129,7 +129,7 @@ class CLSRModel(SequentialModelBase):
         short_query = jnp.concatenate([sti_g, ctx.target_emb], -1)  # [B,G,80]
         att_fea_short = TargetAttention(
             cfg.att_fcn_layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            kernel_init=init, name="short_term_att",
+            kernel_init=init, dtype=compute_dtype(cfg), name="short_term_att",
         )(short_query, rnn_outputs, mask, train=train)  # [B, G, 40]
 
         # ---- fusion (clsr.py:225-274) -----------------------------------
@@ -150,6 +150,7 @@ class CLSRModel(SequentialModelBase):
             alpha_logit = FcnNet(
                 cfg.att_fcn_layer_sizes, cfg.activation,
                 enable_bn=cfg.enable_bn, out_dim=1, kernel_init=init,
+                dtype=compute_dtype(cfg),
                 name="fcn_alpha",
             )(concat_all, train=train)
             alpha = jax.nn.sigmoid(alpha_logit)     # [B, G, 1]

@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from clsr_tpu.data.batch import Batch
-from clsr_tpu.models.base import EmbedContext, SequentialModelBase
+from clsr_tpu.models.base import (EmbedContext, SequentialModelBase,
+                                  compute_dtype)
 from clsr_tpu.ops.attention import SoftAttention, TargetAttention
 from clsr_tpu.ops.initializers import get_initializer
 from clsr_tpu.ops.mlp import FcnNet
@@ -38,7 +39,7 @@ class SLIRecModel(SequentialModelBase):
 
         att_fea2 = TargetAttention(
             cfg.att_fcn_layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            kernel_init=init, name="attention_fcn",
+            kernel_init=init, dtype=compute_dtype(cfg), name="attention_fcn",
         )(ctx.target_emb, rnn_outputs, mask, train=train)         # [B, G, H]
 
         fea1_g = jnp.broadcast_to(att_fea1[:, None, :],
@@ -51,6 +52,7 @@ class SLIRecModel(SequentialModelBase):
             alpha_logit = FcnNet(
                 cfg.att_fcn_layer_sizes, cfg.activation,
                 enable_bn=cfg.enable_bn, out_dim=1, kernel_init=init,
+                dtype=compute_dtype(cfg),
                 name="fcn_alpha")(concat_all, train=train)
             alpha = jax.nn.sigmoid(alpha_logit)
             user_embed = fea1_g * alpha + att_fea2 * (1.0 - alpha)

@@ -35,6 +35,7 @@ class TargetAttention(nn.Module):
     activations: Sequence[str]
     enable_bn: bool = False
     kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(stddev=0.01)
+    dtype: "jnp.dtype | None" = None   # compute dtype of the scorer MLP
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
@@ -51,10 +52,12 @@ class TargetAttention(nn.Module):
         _, L, Dk = keys.shape
 
         W = self.param("attention_mat", self.kernel_init, (Dk, Dq))
-        att_inputs = jnp.einsum("bld,dq->blq", keys, W)        # [B, L, Dq]
+        ct = self.dtype or keys.dtype
+        att_inputs = jnp.einsum("bld,dq->blq", keys.astype(ct),
+                                W.astype(ct))                   # [B, L, Dq]
 
         ai = att_inputs[:, None, :, :]                          # [B,1,L,Dq]
-        q = query[:, :, None, :]                                # [B,G,1,Dq]
+        q = query.astype(ct)[:, :, None, :]                     # [B,G,1,Dq]
         ai_b = jnp.broadcast_to(ai, (B, G, L, Dq))
         q_b = jnp.broadcast_to(q, (B, G, L, Dq))
         feats = jnp.concatenate(
@@ -62,8 +65,9 @@ class TargetAttention(nn.Module):
 
         logits = FcnNet(self.layer_sizes, self.activations,
                         enable_bn=self.enable_bn, out_dim=1,
-                        kernel_init=self.kernel_init,
+                        kernel_init=self.kernel_init, dtype=self.dtype,
                         name="att_fcn")(feats, train=train)[..., 0]  # [B,G,L]
+        logits = logits.astype(jnp.float32)   # stable masked softmax
 
         masked = jnp.where(mask[:, None, :] > 0, logits, MASK_PADDING_VALUE)
         weights = jax.nn.softmax(masked, axis=-1)               # [B,G,L]

@@ -37,7 +37,12 @@ class Dice(nn.Module):
 
 
 class FcnNet(nn.Module):
-    """Dense stack with optional BN, per base_model.py:627-708."""
+    """Dense stack with optional BN, per base_model.py:627-708.
+
+    `dtype` (e.g. jnp.bfloat16) selects the COMPUTE dtype of the dense
+    layers — params stay float32 (flax param_dtype default), BN statistics
+    run in float32, and the final output is cast back to float32.
+    """
 
     layer_sizes: Sequence[int]
     activations: Sequence[str]
@@ -45,16 +50,20 @@ class FcnNet(nn.Module):
     out_dim: Optional[int] = 1
     kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(stddev=0.01)
     dropout_rates: Optional[Sequence[float]] = None  # hparams.dropout when user_dropout
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for idx, size in enumerate(self.layer_sizes):
             x = nn.Dense(size, kernel_init=self.kernel_init,
-                         bias_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
                          name=f"w_nn_layer{idx}")(x)
             if self.enable_bn:
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.95, epsilon=1e-4,
+                                 dtype=self.dtype,
                                  name=f"bn{idx}")(x)
             if self.dropout_rates is not None:
                 rate = self.dropout_rates[min(idx, len(self.dropout_rates) - 1)]
@@ -63,9 +72,9 @@ class FcnNet(nn.Module):
                          parent=self, layer_idx=idx)
         if self.out_dim is not None:
             x = nn.Dense(self.out_dim, kernel_init=self.kernel_init,
-                         bias_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
                          name="w_nn_output")(x)
-        return x
+        return x.astype(jnp.float32) if self.dtype is not None else x
 
 
 def activate(x: jnp.ndarray, activation: str, parent: Optional[nn.Module] = None,
