@@ -35,7 +35,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["bpr", "triplet"])
     p.add_argument("--contrastive_length_threshold", type=int, default=5)
     p.add_argument("--contrastive_recent_k", type=int, default=3)
-    p.add_argument("--name", default="taobao-clsr-debug")
+    p.add_argument("--name", default=None,
+                   help="experiment name (default: <dataset>-<model>); "
+                        "keys the checkpoint/summary dirs")
     p.add_argument("--model", default="CLSR")
     p.add_argument("--only_test", action="store_true")
     p.add_argument("--write_prediction_to_file", action="store_true")
@@ -103,8 +105,9 @@ def make_config(args) -> "Config":
 
     ds = dataset_settings(args.dataset)
     data_dir = os.path.join(args.data_path, args.dataset)
-    model_dir = os.path.join(args.data_path, "model", args.name)
-    summary_dir = os.path.join(args.data_path, "summary", args.name)
+    name = args.name or f"{args.dataset}-{args.model.lower()}"
+    model_dir = os.path.join(args.data_path, "model", name)
+    summary_dir = os.path.join(args.data_path, "summary", name)
 
     return load_config(
         yaml_file,

@@ -212,7 +212,8 @@ class Trainer:
 
     def load_latest(self, model_dir: str) -> None:
         """tf.train.latest_checkpoint equivalent (sequential.py:352-353)."""
-        epochs = [d for d in os.listdir(model_dir) if d.startswith("epoch_")]
+        epochs = ([d for d in os.listdir(model_dir) if d.startswith("epoch_")]
+                  if os.path.isdir(model_dir) else [])
         if not epochs:
             raise IOError(
                 f"Failed to find any matching files for {model_dir}")

@@ -18,8 +18,8 @@ def test_cli_synthetic_end_to_end(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "auc" in out and "wauc" in out
-    # checkpoints written on improvement
-    model_dir = tmp_path / "model" / "taobao-clsr-debug"
+    # checkpoints written on improvement, keyed by <dataset>-<model>
+    model_dir = tmp_path / "model" / "synthetic-gru4rec"
     assert model_dir.exists() and any(model_dir.iterdir())
 
 
