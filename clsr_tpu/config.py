@@ -229,6 +229,12 @@ class Config:
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)
     prefetch_batches: int = 2
+    resident_data: str = "auto"     # 'auto' | 'on' | 'off' — upload the
+                                    # padded train set to HBM once and
+                                    # gather batches on device
+                                    # (data/resident.py); 'auto' turns on
+                                    # when it fits resident_max_bytes
+    resident_max_bytes: int = 6_000_000_000
     drop_remainder_min: int = 5     # reference drops train batches <5 rows
                                     # (sequential_iterator.py:338-339)
 
@@ -271,6 +277,9 @@ class Config:
             raise ValueError(f"contrastive_loss must be bpr or triplet, got {self.contrastive_loss}")
         if self.sequential_model not in ("gru", "lstm", "time4lstm"):
             raise ValueError(f"sequential_model not defined: {self.sequential_model}")
+        if self.resident_data not in ("auto", "on", "off"):
+            raise ValueError(
+                f"resident_data must be auto/on/off, got {self.resident_data}")
         if (self.data_parallel > 1
                 and self.batch_size % self.data_parallel != 0):
             raise ValueError(

@@ -27,12 +27,26 @@ Replaces the reference's per-batch Python/numpy assembly
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
 
 from clsr_tpu.data.batch import Batch
 from clsr_tpu.data.parser import ParsedDataset
+
+# epoch-gather worker pool (numpy fancy indexing releases the GIL; the
+# gather is DRAM-bandwidth-bound and scales with cores)
+_GATHER_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _gather_pool() -> ThreadPoolExecutor:
+    global _GATHER_POOL
+    if _GATHER_POOL is None:
+        _GATHER_POOL = ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 4))
+    return _GATHER_POOL
 
 
 class PaddedView:
@@ -82,6 +96,8 @@ class SequenceLoader:
         self.max_seq_length = max_seq_length
         self.min_batch_rows = min_batch_rows
         self.view = PaddedView(ds, max_seq_length)
+        self._stacked_bufs: list = [None, None]
+        self._buf_flip = 0
 
     # -------------------------------------------------------------- train
     def train_batches(self, batch_rows: int, rng: np.random.RandomState,
@@ -96,6 +112,116 @@ class SequenceLoader:
             if n < self.min_batch_rows:
                 continue  # reference drops tiny trailing train batches
             yield self._make_batch(take, batch_rows, group=None)
+
+    def _epoch_gather(self, take: np.ndarray) -> dict:
+        """Gather the epoch permutation into (reused) contiguous buffers.
+
+        Two buffer sets alternate across epochs so views handed to an
+        in-flight prefetch queue are never overwritten by the next
+        epoch's gather (the CPU backend aliases device_put sources).
+        """
+        v = self.view
+        src = {
+            "users": v.users, "items": v.items, "cates": v.cates,
+            "labels": v.labels,
+            "item_hist": v.item_hist, "cate_hist": v.cate_hist,
+            "mask": v.mask, "time_diff": v.time_diff,
+            "time_from_first": v.time_from_first,
+            "time_to_now": v.time_to_now,
+        }
+        n = len(take)
+        bufs = self._stacked_bufs[self._buf_flip]
+        self._buf_flip ^= 1
+        if bufs is None or len(next(iter(bufs.values()))) != n:
+            bufs = {key: np.empty((n,) + arr.shape[1:],
+                                  np.float32 if key == "labels"
+                                  else arr.dtype)
+                    for key, arr in src.items()}
+            self._stacked_bufs[self._buf_flip ^ 1] = bufs
+
+        pool = _gather_pool()
+        jobs = []
+        n_parts = pool._max_workers
+        for key, arr in src.items():
+            out = bufs[key]
+            if arr.ndim == 1:
+                jobs.append(pool.submit(
+                    np.take, arr, take, 0, out, "clip"))
+            else:
+                # row-partition the big [N, L] gathers across workers
+                for p in range(n_parts):
+                    lo, hi = p * n // n_parts, (p + 1) * n // n_parts
+                    jobs.append(pool.submit(
+                        np.take, arr, take[lo:hi], 0, out[lo:hi], "clip"))
+        for j in jobs:
+            j.result()
+        return {
+            "users": bufs["users"],
+            "items": bufs["items"][:, None],
+            "cates": bufs["cates"][:, None],
+            "labels": bufs["labels"][:, None],
+            "item_hist": bufs["item_hist"],
+            "cate_hist": bufs["cate_hist"],
+            "mask": bufs["mask"],
+            "time_diff": bufs["time_diff"],
+            "time_from_first": bufs["time_from_first"],
+            "time_to_now": bufs["time_to_now"],
+        }
+
+    def train_batches_stacked(self, batch_rows: int, steps_per_call: int,
+                              rng: np.random.RandomState,
+                              min_seq_length: int = 1) -> Iterator[Batch]:
+        """Epoch-permute-once batching for the K-steps-per-dispatch path.
+
+        The per-batch fancy-indexing of `train_batches` costs ~8 small
+        gather kernels per batch on one thread (measured 1.35M ex/s, the
+        round-1 host bottleneck).  Here the WHOLE epoch is gathered once
+        into preallocated permuted buffers — multi-threaded (numpy
+        releases the GIL; the gather is DRAM-bound and scales with cores)
+        and double-buffered across epochs so steady state pays no page
+        faults — and each yielded item is a zero-copy [K, B, ...]
+        reshaped view (measured >10x the per-batch path,
+        scripts/bench_host_pipeline.py).
+
+        Yields [K, B, ...]-stacked Batches for whole dispatch groups, then
+        plain [B, ...] Batches for the tail (distinguish by users.ndim).
+        Row selection, shuffling and the <min_batch_rows trailing-batch
+        drop are identical to `train_batches` (same RandomState
+        consumption), so training is step-for-step equivalent.
+        """
+        v = self.view
+        idx = np.flatnonzero(v.lengths >= min_seq_length)
+        rng.shuffle(idx)
+        n = len(idx)
+        rem = n % batch_rows
+        if rem and rem < self.min_batch_rows:
+            n -= rem  # reference drops tiny trailing train batches
+        if n == 0:
+            return
+        take = idx[:n].astype(np.int64)
+        B, K = batch_rows, steps_per_call
+        n_batches = -(-n // B)
+        n_calls = n_batches // K
+
+        ep = self._epoch_gather(take)
+        ones = np.ones(B, dtype=np.float32)
+        for c in range(n_calls):
+            lo = c * K * B
+            yield Batch(
+                valid=np.broadcast_to(ones, (K, B)),
+                **{key: arr[lo:lo + K * B].reshape((K, B) + arr.shape[1:])
+                   for key, arr in ep.items()})
+        for b in range(n_calls * K, n_batches):
+            lo = b * B
+            take_n = min(B, n - lo)
+            row = {key: arr[lo:lo + take_n] for key, arr in ep.items()}
+            if take_n < B:
+                row = {key: np.concatenate(
+                    [arr, np.zeros((B - take_n,) + arr.shape[1:], arr.dtype)])
+                    for key, arr in row.items()}
+            valid = np.zeros(B, dtype=np.float32)
+            valid[:take_n] = 1.0
+            yield Batch(valid=valid, **row)
 
     # --------------------------------------------------------------- eval
     def eval_batches(self, group_size: int, batch_groups: int,

@@ -20,13 +20,21 @@ _SENTINEL = object()
 
 
 def prefetch_to_device(batches: Iterable, depth: int = 2,
-                       sharding=None) -> Iterator:
-    """Wrap a host batch iterator with an async device-transfer pipeline."""
+                       sharding=None, place_fn=None) -> Iterator:
+    """Wrap a host batch iterator with an async device-transfer pipeline.
+
+    `place_fn` overrides the device placement (e.g. per-item shardings
+    when the iterator yields a mix of stacked [K, B, ...] and single
+    [B, ...] batches); default is `jax.device_put` (with per-leaf
+    `sharding` when given).
+    """
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list = []
 
     def put(batch):
+        if place_fn is not None:
+            return place_fn(batch)
         if sharding is not None:
             return jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, s), batch, sharding)

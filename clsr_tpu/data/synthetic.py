@@ -52,6 +52,70 @@ def device_batch(key, batch_rows: int, seq_len: int, n_items: int,
     )
 
 
+def write_synthetic_dataset_fast(out_dir: str, n_users: int = 5_000,
+                                 n_items: int = 100_000,
+                                 n_cates: int = 5_000,
+                                 min_events: int = 10, max_events: int = 30,
+                                 seed: int = 0,
+                                 time_unit: str = "s") -> Dict[str, str]:
+    """Benchmark-scale dataset writer (train file + vocabs only).
+
+    Fully vectorized sampling (one popularity draw for every event) so a
+    ~10^5-10^6-line Taobao-shaped file writes in seconds; the per-user
+    line loop only does string assembly.  Same TSV format as the
+    reference ETL output (sequential_reviews.py:441-520): expanding
+    histories, label-1 train lines (train negatives are sampled
+    in-batch).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    pop = 1.0 / np.arange(1, n_items + 1) ** 0.8
+    pop /= pop.sum()
+    item2cate = rng.randint(1, n_cates + 1, size=n_items + 1)
+
+    n_ev = rng.randint(min_events, max_events + 1, size=n_users)
+    total = int(n_ev.sum())
+    items_flat = rng.choice(n_items, size=total, p=pop) + 1
+    t0 = 1_500_000_000
+    span = 9 * 24 * 3600
+    scale = 1000 if time_unit == "ms" else 1
+    times_flat = t0 * scale + rng.randint(
+        0, span * scale, size=total, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_ev)])
+
+    lines: List[str] = []
+    for u in range(n_users):
+        lo, hi = offsets[u], offsets[u + 1]
+        items = items_flat[lo:hi]
+        times = np.sort(times_flat[lo:hi])
+        istr = [f"i{i}" for i in items]
+        cstr = [f"c{item2cate[i]}" for i in items]
+        tstr = [str(t) for t in times]
+        ih, ch, th = istr[0], cstr[0], tstr[0]
+        for k in range(1, hi - lo):
+            lines.append(
+                f"1\tu{u + 1}\t{istr[k]}\t{cstr[k]}\t{tstr[k]}\t"
+                f"{ih}\t{ch}\t{th}")
+            if k < hi - lo - 1:
+                ih = ih + "," + istr[k]
+                ch = ch + "," + cstr[k]
+                th = th + "," + tstr[k]
+
+    paths = {"train": os.path.join(out_dir, "train_data")}
+    with open(paths["train"], "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    for name, size in [("user", n_users), ("item", n_items),
+                       ("cate", n_cates)]:
+        vocab = Vocab({f"default_{name}": 0,
+                       **{f"{name[0]}{i}": i for i in range(1, size + 1)}})
+        p = os.path.join(out_dir, f"{name}_vocab.pkl")
+        vocab.save(p)
+        paths[f"{name}_vocab"] = p
+    return paths
+
+
 def make_synthetic_events(n_users: int = 50, n_items: int = 200,
                           n_cates: int = 20, max_events: int = 30,
                           seed: int = 0, pref_strength: float = 0.8):

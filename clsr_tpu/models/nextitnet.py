@@ -11,13 +11,14 @@ Encoder parity details:
     front, nextitnet_iterator.py:146-167) and reads the LAST time step; the
     framework loader left-aligns, so the model right-aligns internally.
 
-Training protocol deviation (documented): the reference trains with
-per-position targets (2-D labels via NextItNetIterator + the softmax
-reshape in base_model.py:218-228).  This implementation trains under the
-framework's standard protocol — last-position representation scored against
-1+num_ngs grouped candidate targets — which optimizes the same next-item
-objective at the sequence level.  Per-position training can be layered on
-with a position-expanded batch.
+Training protocol: per-position targets (2-D labels via
+NextItNetIterator + the softmax reshape in base_model.py:218-228) ARE
+implemented and ON by default — negative_sampling.py:expand_nextitnet
+builds the position-expanded [B, G, L] targets on device and
+losses.py:data_loss_fn applies the reference's (row, position)-grouped
+softmax; gate with cfg.nextitnet_per_position (config.py).  With the
+flag off, training falls back to the framework's standard last-position
+grouped protocol.
 """
 
 from __future__ import annotations

@@ -56,17 +56,16 @@ class TargetAttention(nn.Module):
         att_inputs = jnp.einsum("bld,dq->blq", keys.astype(ct),
                                 W.astype(ct))                   # [B, L, Dq]
 
-        ai = att_inputs[:, None, :, :]                          # [B,1,L,Dq]
-        q = query.astype(ct)[:, :, None, :]                     # [B,G,1,Dq]
-        ai_b = jnp.broadcast_to(ai, (B, G, L, Dq))
-        q_b = jnp.broadcast_to(q, (B, G, L, Dq))
-        feats = jnp.concatenate(
-            [ai_b, q_b, ai_b - q_b, ai_b * q_b], axis=-1)       # [B,G,L,4Dq]
-
+        # scorer over the implicit concat [k, q, k-q, k*q]: the first
+        # layer is algebraically split (ops/mlp.py:SplitFirstDense) so the
+        # reference's [B, G, L, 4Dq] interaction tensor (clsr.py:355-368)
+        # never exists in HBM
         logits = FcnNet(self.layer_sizes, self.activations,
                         enable_bn=self.enable_bn, out_dim=1,
                         kernel_init=self.kernel_init, dtype=self.dtype,
-                        name="att_fcn")(feats, train=train)[..., 0]  # [B,G,L]
+                        name="att_fcn")(
+            None, train=train,
+            split_parts=(att_inputs, query.astype(ct)))[..., 0]  # [B,G,L]
         logits = logits.astype(jnp.float32)   # stable masked softmax
 
         masked = jnp.where(mask[:, None, :] > 0, logits, MASK_PADDING_VALUE)

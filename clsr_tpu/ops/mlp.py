@@ -36,12 +36,60 @@ class Dice(nn.Module):
         return alphas * (1.0 - x_p) * x + x_p * x
 
 
+class SplitFirstDense(nn.Module):
+    """First scorer layer of target attention WITHOUT materializing the
+    [B, G, L, 4D] interaction tensor.
+
+    The reference scorer concatenates [k, q, k-q, k*q] and applies one
+    Dense (clsr.py:355-368).  Concat-then-matmul equals the sum of
+    block matmuls, so with kernel blocks [Wk; Wq; Wd; Wm]:
+
+        out = k@(Wk+Wd) + q@(Wq-Wd) + (k*q)@Wm + bias
+
+    where k@(Wk+Wd) is [B, L, H] (target-independent, computed once),
+    q@(Wq-Wd) is [B, G, H] (position-independent), and the product term
+    contracts D per row as one [L, D] x [D, G*H] matmul — no [B, G, L, *]
+    tensor exists before the H-wide layer output that BN/relu need
+    anyway.  Exact same math and parameter tree (kernel [4D, H], bias
+    [H]) as the Dense it replaces; ~4x fewer first-layer FLOPs and ~6x
+    less HBM traffic at the reference dims.
+    """
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(stddev=0.01)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, keys_proj: jnp.ndarray, query: jnp.ndarray
+                 ) -> jnp.ndarray:
+        """keys_proj [B, L, D], query [B, G, D] -> [B, G, L, features]."""
+        D = keys_proj.shape[-1]
+        H = self.features
+        kernel = self.param("kernel", self.kernel_init, (4 * D, H))
+        bias = self.param("bias", nn.initializers.zeros, (H,))
+        ct = self.dtype or keys_proj.dtype
+        k = keys_proj.astype(ct)
+        q = query.astype(ct)
+        kr = kernel.astype(ct)
+        wk, wq, wd, wm = kr[:D], kr[D:2 * D], kr[2 * D:3 * D], kr[3 * D:]
+        term_k = jnp.einsum("bld,dh->blh", k, wk + wd)      # [B, L, H]
+        term_q = jnp.einsum("bgd,dh->bgh", q, wq - wd)      # [B, G, H]
+        qw = jnp.einsum("bgd,dh->bgdh", q, wm)              # [B, G, D, H]
+        term_m = jnp.einsum("bld,bgdh->bglh", k, qw)        # [B, G, L, H]
+        return (term_m + term_k[:, None, :, :] + term_q[:, :, None, :]
+                + bias.astype(ct))
+
+
 class FcnNet(nn.Module):
     """Dense stack with optional BN, per base_model.py:627-708.
 
     `dtype` (e.g. jnp.bfloat16) selects the COMPUTE dtype of the dense
     layers — params stay float32 (flax param_dtype default), BN statistics
     run in float32, and the final output is cast back to float32.
+
+    When called with `split_parts=(keys_proj, query)`, layer 0 is a
+    `SplitFirstDense` over the implicit concat [k, q, k-q, k*q] (same
+    parameter tree as the plain Dense); `x` is then ignored.
     """
 
     layer_sizes: Sequence[int]
@@ -53,13 +101,19 @@ class FcnNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.dtype is not None:
+    def __call__(self, x: Optional[jnp.ndarray], train: bool = False,
+                 split_parts=None) -> jnp.ndarray:
+        if x is not None and self.dtype is not None:
             x = x.astype(self.dtype)
         for idx, size in enumerate(self.layer_sizes):
-            x = nn.Dense(size, kernel_init=self.kernel_init,
-                         bias_init=nn.initializers.zeros, dtype=self.dtype,
-                         name=f"w_nn_layer{idx}")(x)
+            if idx == 0 and split_parts is not None:
+                x = SplitFirstDense(size, kernel_init=self.kernel_init,
+                                    dtype=self.dtype,
+                                    name="w_nn_layer0")(*split_parts)
+            else:
+                x = nn.Dense(size, kernel_init=self.kernel_init,
+                             bias_init=nn.initializers.zeros, dtype=self.dtype,
+                             name=f"w_nn_layer{idx}")(x)
             if self.enable_bn:
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.95, epsilon=1e-4,

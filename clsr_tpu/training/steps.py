@@ -53,7 +53,13 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
                 rngs={"dropout": rng_drop},
                 mutable=["batch_stats"])
             parts = total_loss(cfg, logits, aux, batch, params)
-            return parts.loss, (parts, mutated.get("batch_stats", state.batch_stats))
+            stats = mutated.get("batch_stats", state.batch_stats)
+            if not stats:
+                # no BN in the model: apply() hands back an empty plain
+                # dict while the state holds an empty FrozenDict — keep
+                # the carry pytree structure stable for lax.scan
+                stats = state.batch_stats
+            return parts.loss, (parts, stats)
 
         grads, (parts, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         if lazy_update is not None:

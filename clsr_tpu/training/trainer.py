@@ -25,7 +25,7 @@ from clsr_tpu.data.prefetch import prefetch_to_device
 from clsr_tpu.training.evaluator import run_weighted_eval
 from clsr_tpu.training.state import TrainState, create_train_state
 from clsr_tpu.training.steps import (make_eval_step, make_multi_train_step,
-                                     make_train_step, stack_batches)
+                                     make_train_step)
 from clsr_tpu.utils.summaries import SummaryWriter
 
 
@@ -38,7 +38,9 @@ class Trainer:
         self.state = create_train_state(model, cfg, sample_batch, rng)
         self._mesh = None
         self._batch_sharding = None
-        self._stack_fn = stack_batches
+        self._place_item = None   # per-item device placement for the
+                                  # stacked streaming path (None = default
+                                  # device_put inside prefetch)
         if cfg.data_parallel * cfg.model_parallel > 1:
             # mesh-parallel path: batch over 'data', tables row-sharded
             # over 'model' (parallel/mesh.py)
@@ -72,23 +74,30 @@ class Trainer:
             self.eval_step = sharded_eval
             self._multi_step = None
             if cfg.train_steps_per_call > 1:
-                from clsr_tpu.parallel.mesh import (
-                    make_sharded_multi_train_step, shard_stacked_batches)
-                inner_multi = make_sharded_multi_train_step(
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from clsr_tpu.parallel.mesh import \
+                    make_sharded_multi_train_step
+                self._multi_step = make_sharded_multi_train_step(
                     model, cfg, self._mesh, base_state,
                     cfg.train_steps_per_call, shard_emb)
+                stacked_sh = jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, P(None, "data")),
+                    self._batch_sharding)
+                single_sh = self._batch_sharding
 
-                def mesh_multi(st, batches_host_stack, rng):
-                    return inner_multi(st, batches_host_stack, rng)
+                def place_item(item):
+                    sh = (stacked_sh if item.users.ndim == 2
+                          else single_sh)
+                    return jax.tree_util.tree_map(
+                        lambda x, s: jax.device_put(np.asarray(x), s),
+                        item, sh)
 
-                self._multi_step = mesh_multi
-                self._stack_fn = (
-                    lambda chunk: shard_stacked_batches(chunk, mesh))
+                self._place_item = place_item
         else:
             self.train_step = make_train_step(model, cfg)
             self.eval_step = make_eval_step(model, cfg)
             self._multi_step = None
-            self._stack_fn = stack_batches
             if cfg.train_steps_per_call > 1:
                 self._multi_step = make_multi_train_step(
                     model, cfg, cfg.train_steps_per_call)
@@ -96,6 +105,90 @@ class Trainer:
         self.eval_history: List[Tuple[int, Dict[str, float]]] = []
         self._ckpt = ocp.StandardCheckpointer() if cfg.model_dir else None
         self.summary = SummaryWriter(cfg.summaries_dir, cfg.write_tfevents)
+        # device-resident train data (data/resident.py) — built lazily in
+        # fit(); single-mesh only for now
+        self._resident = None
+        self._resident_multi = None
+        self._resident_single = None
+
+    # ------------------------------------------------------------------
+    def _use_resident(self, train_loader: SequenceLoader) -> bool:
+        cfg = self.cfg
+        if self._mesh is not None or cfg.resident_data == "off":
+            return False
+        if cfg.resident_data == "on":
+            return True
+        from clsr_tpu.data.resident import resident_nbytes_estimate
+        est = resident_nbytes_estimate(
+            len(train_loader.ds), cfg.max_seq_length)
+        return est <= cfg.resident_max_bytes
+
+    def _resident_epoch(self, train_loader: SequenceLoader, rng,
+                        np_rng, step0: int):
+        """One training epoch over device-resident data.
+
+        Loss totals accumulate ON DEVICE; the host syncs once per
+        cfg.show_step window for logging and once at epoch end — never per
+        call (a device->host read through the dev-chip relay costs ~140ms).
+
+        Returns (rng, n_steps, epoch_loss).
+        """
+        from clsr_tpu.data.resident import (build_resident,
+                                            epoch_permutation,
+                                            make_resident_multi_step,
+                                            make_resident_step)
+        cfg = self.cfg
+        if self._resident is None:
+            self._resident = build_resident(train_loader.view)
+            self._resident_single = make_resident_step(self.model, cfg)
+            if cfg.train_steps_per_call > 1:
+                self._resident_multi = make_resident_multi_step(
+                    self.model, cfg, cfg.train_steps_per_call)
+        B = cfg.batch_size
+        K = cfg.train_steps_per_call if self._resident_multi else 1
+        eligible = np.flatnonzero(
+            train_loader.view.lengths >= cfg.min_seq_length)
+        perm, n_use, n_calls, n_tail = epoch_permutation(
+            eligible, np_rng, B, K, cfg.drop_remainder_min)
+        if self._resident_multi is None:
+            n_calls, n_tail = 0, n_calls
+        perm_dev = jax.device_put(perm)
+        n_dev = np.int32(n_use)
+
+        total = data_total = None
+        step, n_steps = step0, 0
+
+        def account(n_new, parts):
+            nonlocal total, data_total, step, n_steps
+            ls, dl = parts.loss.sum(), parts.data_loss.sum()
+            total = ls if total is None else total + ls
+            data_total = dl if data_total is None else data_total + dl
+            prev = step
+            step += n_new
+            n_steps += n_new
+            if (cfg.show_step
+                    and step // cfg.show_step > prev // cfg.show_step):
+                loss_avg = float(ls) / n_new       # deliberate sync
+                dl_avg = float(dl) / n_new
+                self.log(f"step {step}, total_loss: {loss_avg:.4f}, "
+                         f"data_loss: {dl_avg:.4f}")
+                self.summary.scalars(
+                    step, {"loss": loss_avg, "data_loss": dl_avg})
+
+        for c in range(n_calls):
+            rng, sub = jax.random.split(rng)
+            self.state, parts = self._resident_multi(
+                self.state, self._resident, perm_dev, n_dev,
+                np.int32(c * K * B), sub)
+            account(K, parts)
+        for t in range(n_tail):
+            rng, sub = jax.random.split(rng)
+            self.state, parts = self._resident_single(
+                self.state, self._resident, perm_dev, n_dev,
+                np.int32((n_calls * K + t) * B), sub)
+            account(1, parts)
+        epoch_loss = float(total) if total is not None else 0.0
+        return rng, n_steps, epoch_loss
 
     # ------------------------------------------------------------------
     def fit(self, train_loader: SequenceLoader,
@@ -120,6 +213,7 @@ class Trainer:
         best_metric = 0.0
         self.best_epoch = 0
         step = 0
+        use_resident = self._use_resident(train_loader)
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.time()
             epoch_loss = 0.0
@@ -142,24 +236,37 @@ class Trainer:
                     })
 
             K = cfg.train_steps_per_call
-            batches = train_loader.train_batches(
-                cfg.batch_size, np_rng, min_seq_length=cfg.min_seq_length)
-            if self._multi_step is not None:
-                chunk = []
-                for batch in batches:
-                    chunk.append(batch)
-                    if len(chunk) == K:
-                        rng, sub = jax.random.split(rng)
+            if use_resident:
+                rng, n_steps, epoch_loss = self._resident_epoch(
+                    train_loader, rng, np_rng, step)
+                step += n_steps
+            elif self._multi_step is not None:
+                # epoch-permute-once zero-copy stacked views; H2D upload
+                # overlaps the previous dispatch's K-step scan
+                items = train_loader.train_batches_stacked(
+                    cfg.batch_size, K, np_rng,
+                    min_seq_length=cfg.min_seq_length)
+                if cfg.prefetch_batches > 0:
+                    items = prefetch_to_device(
+                        items, cfg.prefetch_batches,
+                        place_fn=self._place_item)
+                for item in items:
+                    rng, sub = jax.random.split(rng)
+                    if item.users.ndim == 2:      # [K, B, ...] stacked
+                        if (cfg.prefetch_batches <= 0
+                                and self._place_item is not None):
+                            item = self._place_item(item)
                         self.state, parts = self._multi_step(
-                            self.state, self._stack_fn(chunk), sub)
+                            self.state, item, sub)
                         emit(K, jax.tree_util.tree_map(
                             lambda x: x.sum(), parts))
-                        chunk = []
-                for batch in chunk:  # tail: single steps
-                    rng, sub = jax.random.split(rng)
-                    self.state, parts = self.train_step(self.state, batch, sub)
-                    emit(1, parts)
+                    else:                          # tail: single steps
+                        self.state, parts = self.train_step(
+                            self.state, item, sub)
+                        emit(1, parts)
             else:
+                batches = train_loader.train_batches(
+                    cfg.batch_size, np_rng, min_seq_length=cfg.min_seq_length)
                 if cfg.prefetch_batches > 0:
                     batches = prefetch_to_device(
                         batches, cfg.prefetch_batches,

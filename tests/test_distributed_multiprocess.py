@@ -1,0 +1,91 @@
+"""Multi-process multi-host execution (parallel/distributed.py).
+
+SURVEY.md section 4 calls for multi-host tests via JAX's portable
+runtime: this spawns TWO OS processes, each with 2 virtual CPU devices,
+coordinated through jax.distributed.initialize on localhost — a real
+2-host bring-up (global mesh of 4 devices, per-host batch shards
+assembled with make_array_from_process_local_data, psum gradient
+reduction across the process boundary).  The loss trace must match a
+single-process 4-device run of the same program.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_NUM_CPU_DEVICES="2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), "2", str(i), str(tmp_path)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
+
+    losses = []
+    for i in range(2):
+        with open(tmp_path / f"loss_{i}.json") as f:
+            losses.append(json.load(f))
+    # both processes observe the same (replicated) loss
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # single-process reference on 4 of this process's virtual devices
+    import jax
+
+    from clsr_tpu.models.registry import get_model_class
+    from clsr_tpu.parallel.mesh import (make_mesh, make_sharded_train_step,
+                                        place_state, shard_batch)
+    from clsr_tpu.training.state import create_train_state
+    from tests.distributed_worker import make_global_batch, worker_config
+
+    cfg = worker_config(n_data=4)
+    n_items, n_cates, n_users = 50, 10, 20
+    model = get_model_class("gru4rec")(
+        cfg=cfg, n_users=n_users, n_items=n_items, n_cates=n_cates)
+    mesh = make_mesh(4, 1, devices=jax.devices("cpu")[:4])
+    sample = make_global_batch(16, cfg.max_seq_length, n_items, n_cates,
+                               n_users, seed=0)
+    state = create_train_state(model, cfg, sample)
+    sstate = place_state(state, mesh)
+    step_fn = make_sharded_train_step(model, cfg, mesh, state)
+    ref = []
+    for k in range(len(losses[0])):
+        batch = make_global_batch(16, cfg.max_seq_length, n_items, n_cates,
+                                  n_users, seed=100 + k)
+        sstate, parts = step_fn(sstate, shard_batch(batch, mesh),
+                                jax.random.PRNGKey(k))
+        ref.append(float(jax.device_get(parts.loss)))
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-5, atol=1e-6)
