@@ -80,6 +80,24 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--optimizer", default=None,
+                   help="override the YAML optimizer (adam/lazyadam/"
+                        "adagrad/ftrl/padagrad/pgd/...)")
+    p.add_argument("--train_steps_per_call", type=int, default=None,
+                   help="K optimizer steps per device dispatch")
+    p.add_argument("--resident_data", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="device-resident train data (data/resident.py)")
+    p.add_argument("--compute_dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--embedding_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 table storage (requires lazyadam)")
+    p.add_argument("--attention_block_size", type=int, default=None,
+                   help=">0: blockwise long-context attention "
+                        "(needs enable_bn False)")
+    p.add_argument("--etl_processes", type=int, default=1,
+                   help="parallel workers for expanding-history ETL")
     return p
 
 
@@ -143,6 +161,11 @@ def make_config(args) -> "Config":
         summaries_dir=summary_dir,
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
+        resident_data=args.resident_data,
+        **{k: getattr(args, k) for k in
+           ("optimizer", "train_steps_per_call", "compute_dtype",
+            "embedding_dtype", "attention_block_size")
+           if getattr(args, k) is not None},
         **ds,
     )
 
@@ -190,7 +213,7 @@ def main(argv=None) -> int:
                 valid_num_ngs=args.val_num_ngs,
                 test_num_ngs=args.test_num_ngs, dataset=args.dataset,
                 is_history_expanding=args.is_history_expanding,
-                seed=args.seed)
+                seed=args.seed, processes=args.etl_processes)
         else:
             raise SystemExit(
                 f"{train_file} missing; pass --raw_data to preprocess")

@@ -223,7 +223,15 @@ class Config:
     # --- TPU-native execution (no reference equivalent) --------------------
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    embedding_dtype: str = "float32"  # 'bfloat16' halves table HBM +
+                                      # gather traffic; requires lazyadam
+                                      # (f32 moments + f32 update math,
+                                      # bf16 round-to-nearest store)
     use_fused_encoders: bool = True   # one-scan CLSR recurrences (ops/fused_clsr.py)
+    attention_block_size: int = 0     # >0: blockwise long-context target
+                                      # attention (ops/long_context.py)
+                                      # for L >= 1000 histories; needs
+                                      # enable_bn False (BN-free scorer)
     use_pallas_scan: bool = False     # hand-written recurrence kernel (ops/pallas_scan.py)
     train_steps_per_call: int = 8     # K steps per dispatch (steps.py:make_multi_train_step)
     data_parallel: int = 1          # mesh axis 'data'
@@ -277,6 +285,20 @@ class Config:
             raise ValueError(f"contrastive_loss must be bpr or triplet, got {self.contrastive_loss}")
         if self.sequential_model not in ("gru", "lstm", "time4lstm"):
             raise ValueError(f"sequential_model not defined: {self.sequential_model}")
+        if self.attention_block_size > 0 and self.enable_bn:
+            raise ValueError(
+                "attention_block_size requires enable_bn: False (the "
+                "blockwise scorer is BN-free, ops/long_context.py)")
+        if self.embedding_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"embedding_dtype must be float32 or bfloat16, got "
+                f"{self.embedding_dtype}")
+        if (self.embedding_dtype == "bfloat16"
+                and self.optimizer != "lazyadam"):
+            # the dense optimizers flatten all params into one vector
+            # (mixed dtypes) and keep no f32 update path for bf16 params
+            raise ValueError(
+                "embedding_dtype=bfloat16 requires optimizer=lazyadam")
         if self.resident_data not in ("auto", "on", "off"):
             raise ValueError(
                 f"resident_data must be auto/on/off, got {self.resident_data}")

@@ -149,6 +149,81 @@ def make_synthetic_events(n_users: int = 50, n_items: int = 200,
     return events, item2cate
 
 
+def make_drift_events(n_users: int, n_items: int, n_cates: int,
+                      min_events: int = 20, max_events: int = 40,
+                      burst_len: int = 5, seed: int = 0):
+    """Event streams with planted LONG/SHORT-term interest divergence.
+
+    Each user has two STABLE long-term preferred categories (constant
+    over their whole history) plus a SHORT-TERM burst category that is
+    redrawn every `burst_len` events.  Event e comes from the long-term
+    prefs with probability alpha_u (drawn per user in [0.25, 0.75]) and
+    from the CURRENT burst otherwise.  Predicting the next item therefore
+    needs BOTH a whole-history signal (the long prefs) and a
+    recent-events signal (the active burst) — the structure CLSR's
+    disentangled encoders/proxies exist for (clsr.py:46-82), which the
+    round-1 static-affinity generator lacked (VERDICT r1 weak #6).
+
+    Returns (events {u: (items, times)}, item2cate [n_items+1],
+    alpha {u: alpha_u}).
+    """
+    rng = np.random.RandomState(seed)
+    # each category owns a contiguous item block; zipf popularity inside
+    items_per_cate = n_items // n_cates
+    item2cate = np.zeros(n_items + 1, dtype=np.int64)
+    item2cate[1:] = np.repeat(np.arange(1, n_cates + 1), items_per_cate)[
+        :n_items]
+    within_pop = 1.0 / np.arange(1, items_per_cate + 1) ** 0.8
+    within_pop /= within_pop.sum()
+
+    def draw_item(cate):
+        offset = (cate - 1) * items_per_cate
+        return 1 + offset + rng.choice(items_per_cate, p=within_pop)
+
+    events, alphas = {}, {}
+    t0 = 1_500_000_000
+    for u in range(1, n_users + 1):
+        long_prefs = rng.choice(n_cates, size=2, replace=False) + 1
+        alpha_u = 0.25 + 0.5 * rng.rand()
+        n_ev = rng.randint(min_events, max_events + 1)
+        burst = 1 + rng.randint(n_cates)
+        items = np.empty(n_ev, dtype=np.int64)
+        for e in range(n_ev):
+            if e % burst_len == 0:
+                burst = 1 + rng.randint(n_cates)
+            if rng.rand() < alpha_u:
+                cate = long_prefs[rng.randint(2)]
+            else:
+                cate = burst
+            items[e] = draw_item(cate)
+        times = np.sort(t0 + rng.randint(0, 9 * 24 * 3600, size=n_ev))
+        events[u] = (items, times)
+        alphas[u] = alpha_u
+    return events, item2cate, alphas
+
+
+def write_drift_dataset(out_dir: str, n_users: int = 1000,
+                        n_items: int = 600, n_cates: int = 30,
+                        valid_num_ngs: int = 4, test_num_ngs: int = 49,
+                        seed: int = 0, **gen_kw) -> Dict[str, str]:
+    """write_synthetic_dataset with the drift generator (see
+    make_drift_events); also writes alphas.json (planted per-user
+    long-term mixture weights)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed + 1)
+    events, item2cate, alphas = make_drift_events(
+        n_users, n_items, n_cates, seed=seed, **gen_kw)
+    paths = _emit_dataset(out_dir, events, item2cate, n_users, n_items,
+                          n_cates, valid_num_ngs, test_num_ngs, rng)
+    alpha_path = os.path.join(out_dir, "alphas.json")
+    with open(alpha_path, "w") as f:
+        json.dump({str(u): a for u, a in alphas.items()}, f)
+    paths["alphas"] = alpha_path
+    return paths
+
+
 def write_synthetic_dataset(out_dir: str, n_users: int = 50,
                             n_items: int = 200, n_cates: int = 20,
                             valid_num_ngs: int = 4, test_num_ngs: int = 9,
@@ -158,6 +233,21 @@ def write_synthetic_dataset(out_dir: str, n_users: int = 50,
     rng = np.random.RandomState(seed + 1)
     events, item2cate = make_synthetic_events(n_users, n_items, n_cates,
                                               seed=seed)
+    return _emit_dataset(out_dir, events, item2cate, n_users, n_items,
+                         n_cates, valid_num_ngs, test_num_ngs, rng)
+
+
+def _emit_dataset(out_dir, events, item2cate, n_users, n_items, n_cates,
+                  valid_num_ngs, test_num_ngs, rng) -> Dict[str, str]:
+    """Shared split/line/negatives writer (reference file layout).
+
+    `item2cate` may be 0-indexed by item-1 (legacy generator) or
+    1-indexed by item id (drift generator) — normalized here."""
+    item2cate = np.asarray(item2cate)
+    if len(item2cate) == n_items:        # legacy: index by item-1
+        cate_of = lambda it: item2cate[it - 1]
+    else:                                 # drift: index by item id
+        cate_of = lambda it: item2cate[it]
 
     user_vocab = Vocab({"default_user": 0,
                         **{f"u{u}": u for u in range(1, n_users + 1)}})
@@ -174,9 +264,9 @@ def write_synthetic_dataset(out_dir: str, n_users: int = 50,
     all_interactions = np.asarray(all_interactions)
 
     def line(label, u, it, ts, hist_items, hist_times) -> str:
-        hist_cates = [item2cate[i - 1] for i in hist_items]
+        hist_cates = [cate_of(i) for i in hist_items]
         return "\t".join([
-            str(label), f"u{u}", f"i{it}", f"c{item2cate[it - 1]}", str(ts),
+            str(label), f"u{u}", f"i{it}", f"c{cate_of(it)}", str(ts),
             ",".join(f"i{i}" for i in hist_items),
             ",".join(f"c{c}" for c in hist_cates),
             ",".join(str(t) for t in hist_times),

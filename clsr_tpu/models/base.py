@@ -33,6 +33,7 @@ from clsr_tpu.config import Config
 from clsr_tpu.data.batch import Batch
 from clsr_tpu.ops.initializers import get_initializer
 from clsr_tpu.ops.mlp import FcnNet
+from clsr_tpu.parallel.embedding import gather_rows, gather_rows_replicated
 
 
 
@@ -41,6 +42,27 @@ def compute_dtype(cfg: Config):
     if cfg.compute_dtype in ("float32", "f32", None):
         return None
     return jnp.dtype(cfg.compute_dtype)
+
+
+def embedding_init(cfg: Config, init):
+    """Table initializer honoring cfg.embedding_dtype (bf16 storage).
+
+    The tables are the dominant HBM consumer at production scale
+    (Kuaishou: 500k x 32 x 5 tables); bf16 storage halves both capacity
+    and gather bandwidth.  Lookups are upcast to float32 immediately
+    (see `lookup_dtype`) and LazyAdam keeps f32 moments + f32 update
+    math, storing back round-to-nearest (training/lazy_adam.py).
+    """
+    if cfg.embedding_dtype == "bfloat16":
+        return lambda key, shape: init(key, shape).astype(jnp.bfloat16)
+    return init
+
+
+def lookup_cast(cfg: Config, emb: jnp.ndarray) -> jnp.ndarray:
+    """Upcast bf16-stored embedding rows to the f32 compute path."""
+    if emb.dtype == jnp.bfloat16:
+        return emb.astype(jnp.float32)
+    return emb
 
 def unique_rows_sumsq(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """sum(||table[id]||^2) over the UNIQUE ids, jit-safe.
@@ -52,7 +74,7 @@ def unique_rows_sumsq(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     flat = jnp.sort(ids.reshape(-1))
     first = jnp.concatenate(
         [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
-    rows = table[flat]
+    rows = gather_rows_replicated(table, flat).astype(jnp.float32)
     return jnp.sum(jnp.sum(rows * rows, axis=-1) * first)
 
 
@@ -66,7 +88,8 @@ def unique_rows_stats(table_a: jnp.ndarray, table_b: jnp.ndarray,
     flat = jnp.sort(ids.reshape(-1))
     first = jnp.concatenate(
         [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
-    ra, rb = table_a[flat], table_b[flat]
+    ra = gather_rows_replicated(table_a, flat).astype(jnp.float32)
+    rb = gather_rows_replicated(table_b, flat).astype(jnp.float32)
     fa = first[:, None].astype(ra.dtype)
     sumsq_a = jnp.sum(ra * ra * fa)
     sumsq_b = jnp.sum(rb * rb * fa)
@@ -112,16 +135,21 @@ class SequentialModelBase(nn.Module):
                  ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         cfg = self.cfg
         init = get_initializer(cfg.init_method, cfg.init_value)
+        e_init = embedding_init(cfg, init)
 
         item_table = self.param(
-            "item_embedding", init, (self.n_items, cfg.item_embedding_dim))
+            "item_embedding", e_init, (self.n_items, cfg.item_embedding_dim))
         cate_table = self.param(
-            "cate_embedding", init, (self.n_cates, cfg.cate_embedding_dim))
+            "cate_embedding", e_init, (self.n_cates, cfg.cate_embedding_dim))
 
-        item_hist_emb = item_table[batch.item_hist]
-        cate_hist_emb = cate_table[batch.cate_hist]
+        item_hist_emb = lookup_cast(cfg, gather_rows(item_table,
+                                                     batch.item_hist))
+        cate_hist_emb = lookup_cast(cfg, gather_rows(cate_table,
+                                                     batch.cate_hist))
         target_emb = jnp.concatenate(
-            [item_table[batch.items], cate_table[batch.cates]], axis=-1)
+            [lookup_cast(cfg, gather_rows(item_table, batch.items)),
+             lookup_cast(cfg, gather_rows(cate_table, batch.cates))],
+            axis=-1)
 
         # lazy L2 bookkeeping BEFORE dropout, on raw table rows
         involved_items = jnp.concatenate(

@@ -56,15 +56,22 @@ class CLSRModel(SequentialModelBase):
         init = get_initializer(cfg.init_method, cfg.init_value)
         B, G = batch.items.shape
 
+        from clsr_tpu.models.base import embedding_init, lookup_cast
+        e_init = embedding_init(cfg, init)
         user_long_table = self.param(
-            "user_long_embedding", init,
+            "user_long_embedding", e_init,
             (self.n_users, cfg.user_embedding_dim))
         user_short_table = self.param(
-            "user_short_embedding", init,
+            "user_short_embedding", e_init,
             (self.n_users, cfg.user_embedding_dim))
 
-        user_long = self._dropout(user_long_table[batch.users], train)
-        user_short = self._dropout(user_short_table[batch.users], train)
+        from clsr_tpu.parallel.embedding import gather_rows
+        user_long = self._dropout(
+            lookup_cast(cfg, gather_rows(user_long_table, batch.users)),
+            train)
+        user_short = self._dropout(
+            lookup_cast(cfg, gather_rows(user_short_table, batch.users)),
+            train)
 
         # involved-user L2 + discrepancy bookkeeping (clsr.py:73-82,118-127)
         sumsq_l, sumsq_s, sumsq_diff, n_elems = unique_rows_stats(
@@ -75,10 +82,19 @@ class CLSRModel(SequentialModelBase):
         seq_len = mask.sum(-1)                      # [B]
 
         # ---- long term (clsr.py:152-157) --------------------------------
-        att_fea_long = TargetAttention(
-            cfg.att_fcn_layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            kernel_init=init, dtype=compute_dtype(cfg), name="long_term_att",
-        )(user_long, hist, mask, train=train)       # [B, 40]
+        if cfg.attention_block_size > 0:
+            from clsr_tpu.ops.long_context import LongTargetAttention
+            att_cls = lambda name: LongTargetAttention(
+                cfg.att_fcn_layer_sizes,
+                block_size=cfg.attention_block_size, kernel_init=init,
+                dtype=compute_dtype(cfg), name=name)
+        else:
+            att_cls = lambda name: TargetAttention(
+                cfg.att_fcn_layer_sizes, cfg.activation,
+                enable_bn=cfg.enable_bn, kernel_init=init,
+                dtype=compute_dtype(cfg), name=name)
+        att_fea_long = att_cls("long_term_att")(
+            user_long, hist, mask, train=train)     # [B, 40]
         hist_mean = ((hist * mask[..., None]).sum(1)
                      / jnp.maximum(mask.sum(1, keepdims=True), 1.0))
 
@@ -92,13 +108,14 @@ class CLSRModel(SequentialModelBase):
         # ---- short term (clsr.py:159-222) -------------------------------
         fused = cfg.use_fused_encoders and cfg.sequential_model == "time4lstm"
         causal2_state = None
+        cdt = compute_dtype(cfg)   # bf16 recurrence matmuls when set
         if fused:
             # all three recurrences in ONE scan (ops/fused_clsr.py)
             h1, rnn_outputs, causal2_state = FusedCLSREncoder(
                 cfg.user_embedding_dim, cfg.hidden_size,
                 interest_evolve=cfg.interest_evolve,
                 predict_long_short=cfg.predict_long_short,
-                use_pallas=cfg.use_pallas_scan,
+                use_pallas=cfg.use_pallas_scan, dtype=cdt,
                 name="fused_encoders",
             )(hist, batch.time_from_first, batch.time_to_now, mask,
               user_short)
@@ -106,19 +123,23 @@ class CLSRModel(SequentialModelBase):
         else:
             if cfg.interest_evolve:
                 _, short_term_intention = GRU(
-                    cfg.user_embedding_dim, name="short_term_intention",
+                    cfg.user_embedding_dim, dtype=cdt,
+                    name="short_term_intention",
                 )(hist, mask, init_state=user_short)
             else:
                 short_term_intention = user_short   # [B, 40]
             if cfg.sequential_model == "time4lstm":
-                rnn_outputs, _ = Time4LSTM(cfg.hidden_size, name="time4lstm")(
+                rnn_outputs, _ = Time4LSTM(cfg.hidden_size, dtype=cdt,
+                                           name="time4lstm")(
                     hist, t_last=batch.time_from_first,
                     t_now=batch.time_to_now, mask=mask)
             elif cfg.sequential_model == "gru":
-                rnn_outputs, _ = GRU(cfg.hidden_size, name="simple_gru")(
+                rnn_outputs, _ = GRU(cfg.hidden_size, dtype=cdt,
+                                     name="simple_gru")(
                     hist, mask)
             elif cfg.sequential_model == "lstm":
-                rnn_outputs, _ = LSTM(cfg.hidden_size, name="simple_lstm")(
+                rnn_outputs, _ = LSTM(cfg.hidden_size, dtype=cdt,
+                                      name="simple_lstm")(
                     hist, mask)
             else:
                 raise ValueError(cfg.sequential_model)
@@ -127,10 +148,8 @@ class CLSRModel(SequentialModelBase):
             short_term_intention[:, None, :],
             (B, G, short_term_intention.shape[-1]))
         short_query = jnp.concatenate([sti_g, ctx.target_emb], -1)  # [B,G,80]
-        att_fea_short = TargetAttention(
-            cfg.att_fcn_layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            kernel_init=init, dtype=compute_dtype(cfg), name="short_term_att",
-        )(short_query, rnn_outputs, mask, train=train)  # [B, G, 40]
+        att_fea_short = att_cls("short_term_att")(
+            short_query, rnn_outputs, mask, train=train)    # [B, G, 40]
 
         # ---- fusion (clsr.py:225-274) -----------------------------------
         long_g = jnp.broadcast_to(att_fea_long[:, None, :],
@@ -139,8 +158,8 @@ class CLSRModel(SequentialModelBase):
             parts = []
             if cfg.predict_long_short:
                 if causal2_state is None:
-                    _, causal2_state = GRU(cfg.hidden_size, name="causal2")(
-                        hist, mask)
+                    _, causal2_state = GRU(cfg.hidden_size, dtype=cdt,
+                                           name="causal2")(hist, mask)
                 parts.append(jnp.broadcast_to(
                     causal2_state[:, None, :], (B, G, causal2_state.shape[-1])))
             last_time = jnp.broadcast_to(

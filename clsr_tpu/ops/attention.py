@@ -59,22 +59,29 @@ class TargetAttention(nn.Module):
         # scorer over the implicit concat [k, q, k-q, k*q]: the first
         # layer is algebraically split (ops/mlp.py:SplitFirstDense) so the
         # reference's [B, G, L, 4Dq] interaction tensor (clsr.py:355-368)
-        # never exists in HBM
+        # never exists in HBM.  Internal layout is [B, L, G, .] (the
+        # natural dot_general layout — no transposes); the softmax runs
+        # over axis 1.
         logits = FcnNet(self.layer_sizes, self.activations,
                         enable_bn=self.enable_bn, out_dim=1,
                         kernel_init=self.kernel_init, dtype=self.dtype,
                         name="att_fcn")(
             None, train=train,
-            split_parts=(att_inputs, query.astype(ct)))[..., 0]  # [B,G,L]
+            split_parts=(att_inputs, query.astype(ct)))[..., 0]  # [B,L,G]
         logits = logits.astype(jnp.float32)   # stable masked softmax
 
-        masked = jnp.where(mask[:, None, :] > 0, logits, MASK_PADDING_VALUE)
-        weights = jax.nn.softmax(masked, axis=-1)               # [B,G,L]
-        att_fea = jnp.einsum("bgl,bld->bgd", weights, keys)     # [B,G,Dk]
+        masked = jnp.where(mask[:, :, None] > 0, logits, MASK_PADDING_VALUE)
+        w = jax.nn.softmax(masked, axis=1)                      # [B,L,G]
+        att_fea = jnp.einsum("blg,bld->bgd", w, keys)           # [B,G,Dk]
 
         if squeeze_group:
-            att_fea, weights = att_fea[:, 0], weights[:, 0]
-        return (att_fea, weights) if return_weights else att_fea
+            att_fea = att_fea[:, 0]
+        if not return_weights:
+            return att_fea
+        weights = jnp.swapaxes(w, 1, 2)                         # [B,G,L]
+        if squeeze_group:
+            weights = weights[:, 0]
+        return att_fea, weights
 
 
 class SoftAttention(nn.Module):

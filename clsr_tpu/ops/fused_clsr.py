@@ -25,8 +25,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
 from clsr_tpu.ops.initializers import tf1_glorot_uniform
-from clsr_tpu.ops.rnn import _to_batch_major, _to_time_major
+from clsr_tpu.ops.rnn import _cast, _f32, _to_batch_major, _to_time_major
 
 
 class FusedCLSREncoder(nn.Module):
@@ -43,6 +45,7 @@ class FusedCLSREncoder(nn.Module):
     interest_evolve: bool = True
     predict_long_short: bool = True
     use_pallas: bool = False   # hand-written TPU kernel (ops/pallas_scan.py)
+    dtype: "Optional[jnp.dtype]" = None  # bf16 matmuls, f32 carry/gates
 
     @nn.compact
     def __call__(self, hist: jnp.ndarray, t_last: jnp.ndarray,
@@ -85,35 +88,39 @@ class FusedCLSREncoder(nn.Module):
 
         # --- one fused input projection over the whole history ----------
         # widths: [2U, U | 4H | 2H, H]
+        dt = self.dtype
         x_kernel = jnp.concatenate(
             [g1_Wg[:D], g1_Wc[:D], t4l_W[:D], g2_Wg[:D], g2_Wc[:D]], axis=1)
-        x_proj = jnp.einsum("bld,dk->blk", hist, x_kernel)
+        hist_c = _cast(hist, dt)
+        x_proj = jnp.einsum("bld,dk->blk", hist_c, _cast(x_kernel, dt))
         s0, s1, s2, s3, s4 = 2 * U, 3 * U, 3 * U + 4 * H, 3 * U + 6 * H, \
             3 * U + 7 * H
-        xg1 = x_proj[..., :s0] + g1_bg
+        xg1 = x_proj[..., :s0] + _cast(g1_bg, dt)
         xc1 = x_proj[..., s0:s1]
-        xw = x_proj[..., s1:s2] + t4l_b
-        xg2 = x_proj[..., s2:s3] + g2_bg
+        xw = x_proj[..., s1:s2] + _cast(t4l_b, dt)
+        xg2 = x_proj[..., s2:s3] + _cast(g2_bg, dt)
         xc2 = x_proj[..., s3:s4]
 
         # Time4LSTM input-only time terms (see ops/rnn.py Time4LSTM)
-        tn_in = jnp.tanh(t_now[..., None] * w_tn + b_tn)
-        tl_in = jnp.tanh(t_last[..., None] * w_tl + b_tl)
-        tn_state = (jnp.einsum("bld,dh->blh", hist, Wk1)
-                    + jnp.einsum("blh,hk->blk", tn_in, T1) + tb1)
-        tl_state = (jnp.einsum("bld,dh->blh", hist, Wk2)
-                    + jnp.einsum("blh,hk->blk", tl_in, T2) + tb2)
-        o_time = (jnp.einsum("blh,hk->blk", tn_in, Ot1)
-                  + jnp.einsum("blh,hk->blk", tl_in, Ot2))
+        tn_in = _cast(jnp.tanh(t_now[..., None] * w_tn + b_tn), dt)
+        tl_in = _cast(jnp.tanh(t_last[..., None] * w_tl + b_tl), dt)
+        tn_state = (jnp.einsum("bld,dh->blh", hist_c, _cast(Wk1, dt))
+                    + jnp.einsum("blh,hk->blk", tn_in, _cast(T1, dt))
+                    + _cast(tb1, dt))
+        tl_state = (jnp.einsum("bld,dh->blh", hist_c, _cast(Wk2, dt))
+                    + jnp.einsum("blh,hk->blk", tl_in, _cast(T2, dt))
+                    + _cast(tb2, dt))
+        o_time = (jnp.einsum("blh,hk->blk", tn_in, _cast(Ot1, dt))
+                  + jnp.einsum("blh,hk->blk", tl_in, _cast(Ot2, dt)))
 
-        g1_Whg, g1_Whc = g1_Wg[D:], g1_Wc[D:]
-        t4l_Wh = t4l_W[D:]
-        g2_Whg, g2_Whc = g2_Wg[D:], g2_Wc[D:]
+        g1_Whg, g1_Whc = _cast(g1_Wg[D:], dt), _cast(g1_Wc[D:], dt)
+        t4l_Wh = _cast(t4l_W[D:], dt)
+        g2_Whg, g2_Whc = _cast(g2_Wg[D:], dt), _cast(g2_Wc[D:], dt)
 
         run_g1 = self.interest_evolve
         run_g2 = self.predict_long_short
 
-        if self.use_pallas and run_g1 and run_g2:
+        if self.use_pallas and run_g1 and run_g2 and dt is None:
             from clsr_tpu.ops.pallas_scan import fused_scan
             # kernel contract: candidate biases folded into the projections
             h1_f, outs, h2_f = fused_scan(
@@ -122,10 +129,10 @@ class FusedCLSREncoder(nn.Module):
                 g1_Whg, g1_Whc, t4l_Wh, g2_Whg, g2_Whc)
             return h1_f, outs, h2_f
 
-        h1_0 = user_short
-        c0 = jnp.zeros((B, H), hist.dtype)
-        m0 = jnp.zeros((B, H), hist.dtype)
-        h2_0 = jnp.zeros((B, H), hist.dtype)
+        h1_0 = jnp.asarray(user_short, jnp.float32)
+        c0 = jnp.zeros((B, H), jnp.float32)
+        m0 = jnp.zeros((B, H), jnp.float32)
+        h2_0 = jnp.zeros((B, H), jnp.float32)
 
         def step(carry, inp):
             h1, c, m, h2 = carry
@@ -133,26 +140,31 @@ class FusedCLSREncoder(nn.Module):
             mt = m_t[:, None]
 
             if run_g1:
-                gates1 = jax.nn.sigmoid(xg1_t + h1 @ g1_Whg)
+                gates1 = jax.nn.sigmoid(
+                    _f32(xg1_t + _cast(h1, dt) @ g1_Whg, dt))
                 r1, u1 = jnp.split(gates1, 2, axis=-1)
-                cand1 = jnp.tanh(xc1_t + (r1 * h1) @ g1_Whc + g1_bc)
+                cand1 = jnp.tanh(
+                    _f32(xc1_t + _cast(r1 * h1, dt) @ g1_Whc, dt) + g1_bc)
                 h1n = u1 * h1 + (1.0 - u1) * cand1
                 h1 = mt * h1n + (1.0 - mt) * h1
 
-            mat = xw_t + m @ t4l_Wh
+            mat = _f32(xw_t + _cast(m, dt) @ t4l_Wh, dt)
             i, j, f, o = jnp.split(mat, 4, axis=-1)
-            o = o + ot_t
-            c_new = (jax.nn.sigmoid(f + 1.0) * jax.nn.sigmoid(tl_t) * c
-                     + jax.nn.sigmoid(i) * jax.nn.sigmoid(tn_t)
+            o = o + _f32(ot_t, dt)
+            c_new = (jax.nn.sigmoid(f + 1.0) * jax.nn.sigmoid(_f32(tl_t, dt))
+                     * c
+                     + jax.nn.sigmoid(i) * jax.nn.sigmoid(_f32(tn_t, dt))
                      * jnp.tanh(j))
             m_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
             c = mt * c_new + (1.0 - mt) * c
             m = mt * m_new + (1.0 - mt) * m
 
             if run_g2:
-                gates2 = jax.nn.sigmoid(xg2_t + h2 @ g2_Whg)
+                gates2 = jax.nn.sigmoid(
+                    _f32(xg2_t + _cast(h2, dt) @ g2_Whg, dt))
                 r2, u2 = jnp.split(gates2, 2, axis=-1)
-                cand2 = jnp.tanh(xc2_t + (r2 * h2) @ g2_Whc + g2_bc)
+                cand2 = jnp.tanh(
+                    _f32(xc2_t + _cast(r2 * h2, dt) @ g2_Whc, dt) + g2_bc)
                 h2n = u2 * h2 + (1.0 - u2) * cand2
                 h2 = mt * h2n + (1.0 - mt) * h2
 

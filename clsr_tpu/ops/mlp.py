@@ -62,7 +62,12 @@ class SplitFirstDense(nn.Module):
     @nn.compact
     def __call__(self, keys_proj: jnp.ndarray, query: jnp.ndarray
                  ) -> jnp.ndarray:
-        """keys_proj [B, L, D], query [B, G, D] -> [B, G, L, features]."""
+        """keys_proj [B, L, D], query [B, G, D] -> [B, L, G, features].
+
+        NOTE the [B, L, G, .] output layout: it is the natural (no
+        transpose) layout of the product-term dot_general, and the
+        downstream softmax/weighted-sum work over axis 1 just as well.
+        """
         D = keys_proj.shape[-1]
         H = self.features
         kernel = self.param("kernel", self.kernel_init, (4 * D, H))
@@ -74,9 +79,13 @@ class SplitFirstDense(nn.Module):
         wk, wq, wd, wm = kr[:D], kr[D:2 * D], kr[2 * D:3 * D], kr[3 * D:]
         term_k = jnp.einsum("bld,dh->blh", k, wk + wd)      # [B, L, H]
         term_q = jnp.einsum("bgd,dh->bgh", q, wq - wd)      # [B, G, H]
-        qw = jnp.einsum("bgd,dh->bgdh", q, wm)              # [B, G, D, H]
-        term_m = jnp.einsum("bld,bgdh->bglh", k, qw)        # [B, G, L, H]
-        return (term_m + term_k[:, None, :, :] + term_q[:, :, None, :]
+        qw = jnp.einsum("bgd,dh->bdgh", q, wm)              # [B, D, G, H]
+        B, G = query.shape[:2]
+        L = keys_proj.shape[1]
+        term_m = jax.lax.dot_general(                       # [B, L, G*H]
+            k, qw.reshape(B, D, G * H),
+            (((2,), (1,)), ((0,), (0,)))).reshape(B, L, G, H)
+        return (term_m + term_k[:, :, None, :] + term_q[:, None, :, :]
                 + bias.astype(ct))
 
 

@@ -38,6 +38,20 @@ import jax.numpy as jnp
 from clsr_tpu.ops.initializers import tf1_glorot_uniform
 
 
+def _cast(a, dt):
+    """Cast to the compute dtype when mixed precision is on (dt=None: id).
+
+    bf16 policy for recurrences: the hoisted input projections and the
+    per-step h@W matmuls run in bf16 (MXU rate, half the scan's memory
+    traffic); gate nonlinearities and the carried state stay float32.
+    """
+    return a if dt is None else a.astype(dt)
+
+
+def _f32(a, dt):
+    return a if dt is None else a.astype(jnp.float32)
+
+
 def _masked_scan(step_fn, carry0, xs_time_major, mask_time_major):
     """Run `step_fn` over time with carry-through masking.
 
@@ -73,28 +87,32 @@ class GRU(nn.Module):
     """
 
     hidden_size: int
+    dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  init_state: Optional[jnp.ndarray] = None):
         B, L, D = x.shape
         H = self.hidden_size
+        dt = self.dtype
         Wg = self.param("gate_kernel", tf1_glorot_uniform, (D + H, 2 * H))
         bg = self.param("gate_bias", nn.initializers.ones, (2 * H,))
         Wc = self.param("cand_kernel", tf1_glorot_uniform, (D + H, H))
         bc = self.param("cand_bias", nn.initializers.zeros, (H,))
 
-        xg = jnp.einsum("bld,dk->blk", x, Wg[:D]) + bg
-        xc = jnp.einsum("bld,dk->blk", x, Wc[:D])
-        Whg, Whc = Wg[D:], Wc[D:]
+        xg = jnp.einsum("bld,dk->blk", _cast(x, dt), _cast(Wg[:D], dt)) \
+            + _cast(bg, dt)
+        xc = jnp.einsum("bld,dk->blk", _cast(x, dt), _cast(Wc[:D], dt))
+        Whg, Whc = _cast(Wg[D:], dt), _cast(Wc[D:], dt)
 
-        h0 = init_state if init_state is not None else jnp.zeros((B, H), x.dtype)
+        h0 = (init_state if init_state is not None
+              else jnp.zeros((B, H), jnp.float32))
 
         def step(h, inp):
             xg_t, xc_t = inp
-            gates = jax.nn.sigmoid(xg_t + h @ Whg)
+            gates = jax.nn.sigmoid(_f32(xg_t + _cast(h, dt) @ Whg, dt))
             r, u = jnp.split(gates, 2, axis=-1)
-            c = jnp.tanh(xc_t + (r * h) @ Whc + bc)
+            c = jnp.tanh(_f32(xc_t + _cast(r * h, dt) @ Whc, dt) + bc)
             h_new = u * h + (1.0 - u) * c
             return h_new, h_new
 
@@ -110,24 +128,28 @@ class LSTM(nn.Module):
     """TF1-parity basic LSTMCell (no peepholes), forget_bias=1.0."""
 
     hidden_size: int
+    dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  init_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
         B, L, D = x.shape
         H = self.hidden_size
+        dt = self.dtype
         W = self.param("kernel", tf1_glorot_uniform, (D + H, 4 * H))
         b = self.param("bias", nn.initializers.zeros, (4 * H,))
 
-        xw = jnp.einsum("bld,dk->blk", x, W[:D]) + b
-        Wh = W[D:]
+        xw = jnp.einsum("bld,dk->blk", _cast(x, dt), _cast(W[:D], dt)) \
+            + _cast(b, dt)
+        Wh = _cast(W[D:], dt)
 
         if init_state is None:
-            init_state = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+            init_state = (jnp.zeros((B, H), jnp.float32),
+                          jnp.zeros((B, H), jnp.float32))
 
         def step(carry, xw_t):
             c, m = carry
-            mat = xw_t + m @ Wh
+            mat = _f32(xw_t + _cast(m, dt) @ Wh, dt)
             i, j, f, o = jnp.split(mat, 4, axis=-1)
             c_new = (jax.nn.sigmoid(f + 1.0) * c
                      + jax.nn.sigmoid(i) * jnp.tanh(j))
@@ -149,12 +171,14 @@ class Time4LSTM(nn.Module):
     """
 
     hidden_size: int
+    dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_last: jnp.ndarray,
                  t_now: jnp.ndarray, mask: jnp.ndarray):
         B, L, D = x.shape
         H = self.hidden_size
+        dt = self.dtype
 
         w_tn = self.param("time_input_w1", tf1_glorot_uniform, (H,))
         b_tn = self.param("time_input_bias1", nn.initializers.zeros, (H,))
@@ -172,23 +196,29 @@ class Time4LSTM(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (4 * H,))
 
         # --- input-only terms, hoisted out of the recurrence ------------
-        tn_in = jnp.tanh(t_now[..., None] * w_tn + b_tn)    # [B,L,H]
-        tl_in = jnp.tanh(t_last[..., None] * w_tl + b_tl)   # [B,L,H]
-        tn_state = (jnp.einsum("bld,dh->blh", x, Wk1)
-                    + jnp.einsum("blh,hk->blk", tn_in, T1) + tb1)
-        tl_state = (jnp.einsum("bld,dh->blh", x, Wk2)
-                    + jnp.einsum("blh,hk->blk", tl_in, T2) + tb2)
-        o_time = (jnp.einsum("blh,hk->blk", tn_in, Ot1)
-                  + jnp.einsum("blh,hk->blk", tl_in, Ot2))
-        xw = jnp.einsum("bld,dk->blk", x, W[:D]) + b
-        Wh = W[D:]
+        xc_ = _cast(x, dt)
+        tn_in = _cast(jnp.tanh(t_now[..., None] * w_tn + b_tn), dt)  # [B,L,H]
+        tl_in = _cast(jnp.tanh(t_last[..., None] * w_tl + b_tl), dt)
+        tn_state = (jnp.einsum("bld,dh->blh", xc_, _cast(Wk1, dt))
+                    + jnp.einsum("blh,hk->blk", tn_in, _cast(T1, dt))
+                    + _cast(tb1, dt))
+        tl_state = (jnp.einsum("bld,dh->blh", xc_, _cast(Wk2, dt))
+                    + jnp.einsum("blh,hk->blk", tl_in, _cast(T2, dt))
+                    + _cast(tb2, dt))
+        o_time = (jnp.einsum("blh,hk->blk", tn_in, _cast(Ot1, dt))
+                  + jnp.einsum("blh,hk->blk", tl_in, _cast(Ot2, dt)))
+        xw = jnp.einsum("bld,dk->blk", xc_, _cast(W[:D], dt)) + _cast(b, dt)
+        Wh = _cast(W[D:], dt)
 
-        carry0 = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+        carry0 = (jnp.zeros((B, H), jnp.float32),
+                  jnp.zeros((B, H), jnp.float32))
 
         def step(carry, inp):
             c, m = carry
             xw_t, tn_t, tl_t, ot_t = inp
-            mat = xw_t + m @ Wh
+            mat = _f32(xw_t + _cast(m, dt) @ Wh, dt)
+            tn_t, tl_t, ot_t = (_f32(tn_t, dt), _f32(tl_t, dt),
+                                _f32(ot_t, dt))
             i, j, f, o = jnp.split(mat, 4, axis=-1)
             o = o + ot_t
             c_new = (jax.nn.sigmoid(f + 1.0) * jax.nn.sigmoid(tl_t) * c
@@ -238,6 +268,7 @@ class VecAttGRU(nn.Module):
     """
 
     hidden_size: int
+    dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, att_scores: jnp.ndarray,
@@ -245,6 +276,7 @@ class VecAttGRU(nn.Module):
                  init_state: Optional[jnp.ndarray] = None):
         B, L, D = x.shape
         H = self.hidden_size
+        dt = self.dtype
         grouped = att_scores.ndim == 3
         G = att_scores.shape[1] if grouped else 1
 
@@ -253,22 +285,25 @@ class VecAttGRU(nn.Module):
         Wc = self.param("cand_kernel", tf1_glorot_uniform, (D + H, H))
         bc = self.param("cand_bias", nn.initializers.zeros, (H,))
 
-        xg = jnp.einsum("bld,dk->blk", x, Wg[:D]) + bg
-        xc = jnp.einsum("bld,dk->blk", x, Wc[:D])
-        Whg, Whc = Wg[D:], Wc[D:]
+        xg = jnp.einsum("bld,dk->blk", _cast(x, dt), _cast(Wg[:D], dt)) \
+            + _cast(bg, dt)
+        xc = jnp.einsum("bld,dk->blk", _cast(x, dt), _cast(Wc[:D], dt))
+        Whg, Whc = _cast(Wg[D:], dt), _cast(Wc[D:], dt)
 
         att_g = att_scores if grouped else att_scores[:, None, :]  # [B,G,L]
 
         if init_state is None:
-            h0 = jnp.zeros((B, G, H), x.dtype)
+            h0 = jnp.zeros((B, G, H), jnp.float32)
         else:
             h0 = jnp.broadcast_to(init_state[:, None, :], (B, G, H))
 
         def step(h, inp):                       # h [B,G,H]
             xg_t, xc_t, att_t = inp             # [B,2H],[B,H],[B,G]
-            gates = jax.nn.sigmoid(xg_t[:, None, :] + h @ Whg)
+            gates = jax.nn.sigmoid(
+                _f32(xg_t[:, None, :] + _cast(h, dt) @ Whg, dt))
             r, u = jnp.split(gates, 2, axis=-1)
-            c = jnp.tanh(xc_t[:, None, :] + (r * h) @ Whc + bc)
+            c = jnp.tanh(
+                _f32(xc_t[:, None, :] + _cast(r * h, dt) @ Whc, dt) + bc)
             u = (1.0 - att_t[..., None]) * u
             h_new = u * h + (1.0 - u) * c
             return h_new, h_new

@@ -135,11 +135,22 @@ def place_state(state: TrainState, mesh: Mesh,
 def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
                             state: TrainState,
                             shard_embeddings: bool = False):
-    """Jit the train step with explicit in/out shardings over the mesh."""
+    """Jit the train step with explicit in/out shardings over the mesh.
+
+    With shard_embeddings, tracing runs under `use_sharded_tables(mesh)`
+    so every table lookup and the LazyAdam row update go through the
+    explicit shard_map collectives (parallel/embedding.py) instead of
+    GSPMD's full-table all-gather formulation.
+    """
+    from clsr_tpu.parallel.embedding import use_sharded_tables
     from clsr_tpu.training.steps import make_train_step_fn
     from clsr_tpu.training.losses import LossParts
 
-    raw = make_train_step_fn(model, cfg)
+    raw_inner = make_train_step_fn(model, cfg)
+
+    def raw(state, batch, rng):
+        with use_sharded_tables(mesh if shard_embeddings else None):
+            return raw_inner(state, batch, rng)
 
     st_shard = state_sharding(state, mesh, shard_embeddings)
     b_shard = batch_sharding(mesh)
@@ -165,6 +176,7 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
     dispatch amortization of make_multi_train_step with the mesh."""
     import jax.numpy as jnp
 
+    from clsr_tpu.parallel.embedding import use_sharded_tables
     from clsr_tpu.training.steps import make_train_step_fn
 
     raw = make_train_step_fn(model, cfg)
@@ -175,7 +187,8 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
             return raw(s, batch, jax.random.fold_in(rng, i))
 
         idx = jnp.arange(steps_per_call)
-        return jax.lax.scan(body, st, (idx, batches))
+        with use_sharded_tables(mesh if shard_embeddings else None):
+            return jax.lax.scan(body, st, (idx, batches))
 
     st_shard = state_sharding(state, mesh, shard_embeddings)
     # stacked batches: [K, B, ...] with rows sharded over 'data'
@@ -194,6 +207,27 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
         out_shardings=(st_shard, parts_shard),
         donate_argnums=(0,),
     )
+
+
+def make_sharded_eval_step(model, cfg: Config, mesh: Mesh,
+                           state: TrainState,
+                           shard_embeddings: bool = False):
+    """Jitted eval step over the mesh (collective table lookups when
+    shard_embeddings)."""
+    from clsr_tpu.parallel.embedding import use_sharded_tables
+    from clsr_tpu.training.steps import make_eval_step_fn
+
+    raw_inner = make_eval_step_fn(model, cfg)
+
+    def raw(st, batch):
+        with use_sharded_tables(mesh if shard_embeddings else None):
+            return raw_inner(st, batch)
+
+    st_shard = state_sharding(state, mesh, shard_embeddings)
+    b_shard = batch_sharding(mesh)
+    out = NamedSharding(mesh, P("data"))
+    return jax.jit(raw, in_shardings=(st_shard, b_shard),
+                   out_shardings=(out, out))
 
 
 def shard_stacked_batches(batches, mesh: Mesh):

@@ -1,0 +1,166 @@
+"""Inference-only scoring service.
+
+The reference has no serving path (predictions are dumped to a file from
+the training session — sequential_base_model.py:326-347).  This module is
+the TPU-native deployment shape (ROADMAP item 5):
+
+  * `ScoringService` — restore a trained checkpoint + vocabs once, then
+    `score(requests)` batches of (user, history, C candidates) through a
+    jitted eval program.  The grouped-target design scores all C
+    candidates of a request in ONE encoder pass (the [B, G] Batch
+    layout, data/batch.py): the three recurrences, the long attention
+    and the proxies run once per user; only the target-conditioned
+    scorer/fusion/head fan out over candidates — the reference would
+    re-encode the history once per candidate.
+  * Static shape buckets — requests are padded to (batch, candidates)
+    buckets so XLA compiles a handful of programs, not one per request
+    shape; scores for padding are dropped before returning.
+  * Device batching across concurrent requests: many users score in one
+    dispatch.
+
+Throughput: scripts/bench_serving.py (candidates/s on one chip).
+"""
+
+from __future__ import annotations
+
+import bisect
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from clsr_tpu.config import Config
+from clsr_tpu.data.batch import Batch
+from clsr_tpu.data.parser import compute_time_features, time_range_for_unit
+from clsr_tpu.data.vocab import Vocab
+from clsr_tpu.models.registry import get_model_class
+from clsr_tpu.training.state import create_train_state
+from clsr_tpu.training.steps import make_eval_step
+
+
+@dataclasses.dataclass
+class ScoreRequest:
+    """One user's scoring request (raw string tokens, like the TSV)."""
+
+    user: str
+    hist_items: Sequence[str]
+    hist_cates: Sequence[str]
+    hist_times: Sequence[float]
+    current_time: float
+    cand_items: Sequence[str]
+    cand_cates: Sequence[str]
+
+
+class ScoringService:
+    """Checkpoint-backed candidate scorer with shape-bucketed batching."""
+
+    def __init__(self, cfg: Config, n_users: int, n_items: int,
+                 n_cates: int, user_vocab: Vocab, item_vocab: Vocab,
+                 cate_vocab: Vocab,
+                 checkpoint: Optional[str] = None,
+                 batch_buckets: Sequence[int] = (8, 64),
+                 cand_buckets: Sequence[int] = (16, 128, 512)):
+        self.cfg = cfg
+        self.vocabs = (user_vocab, item_vocab, cate_vocab)
+        self.model = get_model_class(cfg.model_type)(
+            cfg=cfg, n_users=n_users, n_items=n_items, n_cates=n_cates)
+        self.batch_buckets = sorted(batch_buckets)
+        self.cand_buckets = sorted(cand_buckets)
+        self._time_range = time_range_for_unit(cfg.time_unit)
+
+        sample = self._empty_batch(self.batch_buckets[0],
+                                   self.cand_buckets[0])
+        self.state = create_train_state(self.model, cfg, sample)
+        if checkpoint is not None:
+            self.load(checkpoint)
+        self._eval_step = make_eval_step(self.model, cfg)
+
+    # ------------------------------------------------------------- ckpt
+    def load(self, path: str) -> None:
+        import os
+
+        import orbax.checkpoint as ocp
+        ckpt = ocp.StandardCheckpointer()
+        self.state = ckpt.restore(os.path.abspath(path), self.state)
+
+    def load_latest(self, model_dir: str) -> None:
+        import os
+        epochs = ([d for d in os.listdir(model_dir)
+                   if d.startswith("epoch_")]
+                  if os.path.isdir(model_dir) else [])
+        if not epochs:
+            raise IOError(
+                f"Failed to find any matching files for {model_dir}")
+        latest = max(epochs, key=lambda d: int(d.split("_")[1]))
+        self.load(os.path.join(model_dir, latest))
+
+    # ------------------------------------------------------------ batch
+    def _bucket(self, buckets: Sequence[int], n: int) -> int:
+        i = bisect.bisect_left(buckets, n)
+        return buckets[min(i, len(buckets) - 1)]
+
+    def _empty_batch(self, B: int, G: int) -> Batch:
+        L = self.cfg.max_seq_length
+        z = np.zeros
+        return Batch(
+            users=z(B, np.int32), items=z((B, G), np.int32),
+            cates=z((B, G), np.int32), labels=z((B, G), np.float32),
+            item_hist=z((B, L), np.int32), cate_hist=z((B, L), np.int32),
+            mask=z((B, L), np.float32), time_diff=z((B, L), np.float32),
+            time_from_first=z((B, L), np.float32),
+            time_to_now=z((B, L), np.float32), valid=z(B, np.float32),
+        )
+
+    def _fill_row(self, batch: Batch, row: int, req: ScoreRequest,
+                  G: int) -> None:
+        uv, iv, cv = self.vocabs
+        L = self.cfg.max_seq_length
+        n = min(len(req.hist_items), L)
+        hitems = iv.lookup_many(req.hist_items)
+        hcates = cv.lookup_many(req.hist_cates)
+        td, tff, ttn = compute_time_features(
+            np.asarray(req.hist_times, np.float64), req.current_time,
+            self._time_range)
+        batch.users[row] = uv.lookup(req.user)
+        batch.item_hist[row, :n] = hitems[-n:] if n else []
+        batch.cate_hist[row, :n] = hcates[-n:] if n else []
+        batch.mask[row, :n] = 1.0
+        batch.time_diff[row, :n] = td[-n:]
+        batch.time_from_first[row, :n] = tff[-n:]
+        batch.time_to_now[row, :n] = ttn[-n:]
+        C = len(req.cand_items)
+        batch.items[row, :C] = iv.lookup_many(req.cand_items)
+        batch.cates[row, :C] = cv.lookup_many(req.cand_cates)
+        batch.valid[row] = 1.0
+
+    # ------------------------------------------------------------ score
+    def score(self, requests: List[ScoreRequest]) -> List[np.ndarray]:
+        """Sigmoid scores per request, one array of len(cand_items) each.
+
+        Requests are grouped by candidate-count bucket; each group pads
+        to (batch bucket, cand bucket) and runs as one dispatch.
+        """
+        order: Dict[int, List[int]] = {}
+        for i, req in enumerate(requests):
+            if len(req.cand_items) > self.cand_buckets[-1]:
+                raise ValueError(
+                    f"request {i}: {len(req.cand_items)} candidates exceeds "
+                    f"the largest bucket {self.cand_buckets[-1]}; raise "
+                    f"cand_buckets or split the request")
+            g = self._bucket(self.cand_buckets, len(req.cand_items))
+            order.setdefault(g, []).append(i)
+
+        out: List[Optional[np.ndarray]] = [None] * len(requests)
+        for G, idxs in order.items():
+            for lo in range(0, len(idxs), self.batch_buckets[-1]):
+                chunk = idxs[lo:lo + self.batch_buckets[-1]]
+                B = self._bucket(self.batch_buckets, len(chunk))
+                batch = self._empty_batch(B, G)
+                for row, i in enumerate(chunk):
+                    self._fill_row(batch, row, requests[i], G)
+                preds, _ = self._eval_step(self.state, batch)
+                preds = np.asarray(preds)
+                for row, i in enumerate(chunk):
+                    out[i] = preds[row, :len(requests[i].cand_items)].copy()
+        return out   # type: ignore[return-value]

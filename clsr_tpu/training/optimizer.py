@@ -5,14 +5,149 @@ Mirrors base_model.py:249-297: the reference clips EACH gradient tensor to
 optimizer applies it, then uses one of 10 optimizers.  Here the clip is an
 optax transform chained ahead of the optimizer so moments are computed on
 clipped gradients, exactly like compute_gradients -> clip -> apply_gradients.
+
+The three reference optimizers optax lacks are implemented from their
+published update equations with TF1 defaults (base_model.py:266-272):
+`ftrl` (tf.train.FtrlOptimizer: learning_rate_power=-0.5,
+initial_accumulator_value=0.1, l1=l2=0), `padagrad`
+(tf.train.ProximalAdagradOptimizer) and `pgd`
+(tf.train.ProximalGradientDescentOptimizer) — golden-tested against
+numpy transcriptions of the equations (tests/test_optimizers.py).
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 import optax
 
 from clsr_tpu.config import Config
+
+
+class FtrlState(NamedTuple):
+    z: optax.Updates       # linear accumulator
+    n: optax.Updates       # squared-gradient accumulator
+
+
+def ftrl(learning_rate: float, learning_rate_power: float = -0.5,
+         initial_accumulator_value: float = 0.1,
+         l1: float = 0.0, l2: float = 0.0,
+         beta: float = 0.0) -> optax.GradientTransformation:
+    """FTRL-Proximal (McMahan et al. 2013), TF1 FtrlOptimizer semantics.
+
+    Per element:
+      n' = n + g^2
+      sigma = (n'^-p - n^-p) / alpha          (p = -learning_rate_power)
+      z' = z + g - sigma * w
+      w' = (sign(z')*l1 - z') / ((beta + n'^-p... ) ... ) if |z'| > l1
+           else 0
+    with the TF formulation: denominator (beta + sqrt(n'))/alpha + 2*l2
+    for the default p = 0.5.
+    """
+    alpha = learning_rate
+    p = -learning_rate_power
+
+    def init_fn(params):
+        return FtrlState(
+            z=jax.tree_util.tree_map(jnp.zeros_like, params),
+            n=jax.tree_util.tree_map(
+                lambda x: jnp.full_like(x, initial_accumulator_value),
+                params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ftrl requires params")
+
+        def upd(g, z, n, w):
+            n_new = n + g * g
+            sigma = (n_new ** p - n ** p) / alpha
+            z_new = z + g - sigma * w
+            denom = (beta + n_new ** p) / alpha + 2.0 * l2
+            w_new = jnp.where(
+                jnp.abs(z_new) > l1,
+                (jnp.sign(z_new) * l1 - z_new) / denom,
+                0.0)
+            return w_new - w, z_new, n_new
+
+        out = jax.tree_util.tree_map(upd, updates, state.z, state.n, params)
+        deltas = jax.tree_util.tree_map(lambda t: t[0], out,
+                                        is_leaf=lambda t: isinstance(t, tuple))
+        z_new = jax.tree_util.tree_map(lambda t: t[1], out,
+                                       is_leaf=lambda t: isinstance(t, tuple))
+        n_new = jax.tree_util.tree_map(lambda t: t[2], out,
+                                       is_leaf=lambda t: isinstance(t, tuple))
+        return deltas, FtrlState(z=z_new, n=n_new)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class ProximalAdagradState(NamedTuple):
+    acc: optax.Updates
+
+
+def proximal_adagrad(learning_rate: float,
+                     initial_accumulator_value: float = 0.1,
+                     l1: float = 0.0, l2: float = 0.0
+                     ) -> optax.GradientTransformation:
+    """TF1 ProximalAdagradOptimizer: adagrad step then proximal shrink.
+
+      acc' = acc + g^2;  lr_t = lr / sqrt(acc')
+      prox = w - lr_t * g
+      w' = sign(prox) * max(|prox| - lr_t*l1, 0) / (1 + lr_t*l2)
+    """
+
+    def init_fn(params):
+        return ProximalAdagradState(acc=jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, initial_accumulator_value), params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("proximal_adagrad requires params")
+
+        def upd(g, acc, w):
+            acc_new = acc + g * g
+            lr_t = learning_rate / jnp.sqrt(acc_new)
+            prox = w - lr_t * g
+            w_new = (jnp.sign(prox)
+                     * jnp.maximum(jnp.abs(prox) - lr_t * l1, 0.0)
+                     / (1.0 + lr_t * l2))
+            return w_new - w, acc_new
+
+        out = jax.tree_util.tree_map(upd, updates, state.acc, params)
+        deltas = jax.tree_util.tree_map(lambda t: t[0], out,
+                                        is_leaf=lambda t: isinstance(t, tuple))
+        acc_new = jax.tree_util.tree_map(lambda t: t[1], out,
+                                         is_leaf=lambda t: isinstance(t, tuple))
+        return deltas, ProximalAdagradState(acc=acc_new)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def proximal_sgd(learning_rate: float, l1: float = 0.0, l2: float = 0.0
+                 ) -> optax.GradientTransformation:
+    """TF1 ProximalGradientDescentOptimizer (plain SGD when l1=l2=0)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("proximal_sgd requires params")
+
+        def upd(g, w):
+            prox = w - learning_rate * g
+            w_new = (jnp.sign(prox)
+                     * jnp.maximum(jnp.abs(prox) - learning_rate * l1, 0.0)
+                     / (1.0 + learning_rate * l2))
+            return w_new - w
+
+        return jax.tree_util.tree_map(upd, updates, params), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def clip_by_norm_each(max_norm: float) -> optax.GradientTransformation:
@@ -45,13 +180,16 @@ def build_optimizer(cfg: Config) -> optax.GradientTransformation:
         opt = optax.adadelta(lr)
     elif name == "adagrad":
         opt = optax.adagrad(lr)
-    elif name in ("sgd", "gd", "pgd"):
+    elif name in ("sgd", "gd"):
         opt = optax.sgd(lr)
+    elif name == "pgd":
+        opt = proximal_sgd(lr)
     elif name == "rmsprop":
         opt = optax.rmsprop(lr)
-    elif name in ("ftrl", "padagrad"):
-        # no optax equivalent; the reference defaults rarely hit these
-        opt = optax.adagrad(lr)
+    elif name == "ftrl":
+        opt = ftrl(lr)
+    elif name == "padagrad":
+        opt = proximal_adagrad(lr)
     else:
         opt = optax.sgd(lr)
     # optax.flatten fuses the per-leaf optimizer math into ONE flat-vector

@@ -115,8 +115,8 @@ def stack_batches(batches) -> Batch:
         lambda *xs: np.stack(xs, axis=0), *batches)
 
 
-def make_eval_step(model, cfg: Config) -> Callable:
-    """Returns eval_step(state, batch) -> (preds [B,G], alpha [B,G]).
+def make_eval_step_fn(model, cfg: Config) -> Callable:
+    """The raw (unjitted) eval step: (state, batch) -> (preds, alpha).
 
     Eval mode: BN running stats, no dropout (base_model.py:366-392);
     preds = sigmoid(logit) for classification (base_model.py:89-109).
@@ -132,4 +132,9 @@ def make_eval_step(model, cfg: Config) -> Callable:
         alpha = aux.get("alpha", jnp.zeros_like(preds))
         return preds, alpha
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(model, cfg: Config) -> Callable:
+    """Jitted single-device eval step -> (preds [B,G], alpha [B,G])."""
+    return jax.jit(make_eval_step_fn(model, cfg))

@@ -45,6 +45,7 @@ class Trainer:
             # mesh-parallel path: batch over 'data', tables row-sharded
             # over 'model' (parallel/mesh.py)
             from clsr_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                make_sharded_eval_step,
                                                 make_sharded_train_step,
                                                 place_state, shard_batch)
             self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
@@ -54,7 +55,8 @@ class Trainer:
             self.train_step = make_sharded_train_step(
                 model, cfg, self._mesh, base_state, shard_emb)
             self._batch_sharding = batch_sharding(self._mesh)
-            inner_eval = make_eval_step(model, cfg)
+            inner_eval = make_sharded_eval_step(
+                model, cfg, self._mesh, base_state, shard_emb)
             mesh = self._mesh
             n_data = cfg.data_parallel
 

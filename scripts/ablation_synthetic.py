@@ -33,21 +33,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--drift", action="store_true",
+                    help="use the planted long/short interest-drift "
+                         "generator (write_drift_dataset) so the "
+                         "disentanglement losses have signal to exploit")
     args = ap.parse_args()
 
     from clsr_tpu.config import Config
     from clsr_tpu.data.loader import SequenceLoader
     from clsr_tpu.data.parser import parse_file
-    from clsr_tpu.data.synthetic import write_synthetic_dataset
+    from clsr_tpu.data.synthetic import (write_drift_dataset,
+                                         write_synthetic_dataset)
     from clsr_tpu.data.vocab import load_vocab
     from clsr_tpu.models.registry import get_model_class
     from clsr_tpu.training.evaluator import run_weighted_eval
     from clsr_tpu.training.trainer import Trainer
 
     workdir = args.out or tempfile.mkdtemp(prefix="clsr_ablation_")
-    paths = write_synthetic_dataset(workdir, n_users=1200, n_items=600,
+    if args.drift:
+        paths = write_drift_dataset(workdir, n_users=1200, n_items=600,
                                     n_cates=30, valid_num_ngs=4,
                                     test_num_ngs=49, seed=3)
+    else:
+        paths = write_synthetic_dataset(workdir, n_users=1200, n_items=600,
+                                        n_cates=30, valid_num_ngs=4,
+                                        test_num_ngs=49, seed=3)
     uv, iv, cv = (load_vocab(paths["user_vocab"]),
                   load_vocab(paths["item_vocab"]),
                   load_vocab(paths["cate_vocab"]))
@@ -81,6 +91,10 @@ def main():
         print(name, json.dumps(res), flush=True)
 
     print("\n=== ablation summary ===")
+    if args.drift:
+        planted = json.load(open(paths["alphas"]))
+        print(f"planted mean long-term mixture: "
+              f"{np.mean(list(planted.values())):.3f}")
     for n, r in results.items():
         print(f"{n:20s} auc={r['auc']:.4f} wauc={r['wauc']:.4f} "
               f"ndcg@2={r.get('ndcg@2', 0):.4f} "

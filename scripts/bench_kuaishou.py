@@ -5,9 +5,11 @@ dispatch, LazyAdam, median-of-calls, execution-sanity assertions) on the
 long-sequence configuration that is the forcing function for the scan and
 attention paths (SURVEY.md section 6).
 
-Usage: python scripts/bench_kuaishou.py
+Usage: python scripts/bench_kuaishou.py [--compute_dtype bfloat16]
+           [--embedding_dtype bfloat16]
 """
 
+import argparse
 import json
 import os
 import sys
@@ -28,6 +30,11 @@ CALLS = 12
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--embedding_dtype", default="float32")
+    args = ap.parse_args()
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/clsr_tpu_xla"))
@@ -41,7 +48,9 @@ def main():
 
     cfg = _taobao_cfg(batch_size=BATCH, optimizer="lazyadam",
                       max_seq_length=SEQ, time_unit="ms",
-                      train_steps_per_call=STEPS_PER_CALL)
+                      train_steps_per_call=STEPS_PER_CALL,
+                      compute_dtype=args.compute_dtype,
+                      embedding_dtype=args.embedding_dtype)
     model = get_model_class("clsr")(
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
 
@@ -87,7 +96,9 @@ def main():
         "metric": "clsr_train_throughput_1chip_kuaishou",
         "value": round(BATCH * STEPS_PER_CALL / dt, 1),
         "unit": "examples/sec",
-        "config": f"B={BATCH} L={SEQ} items={N_ITEMS}",
+        "config": (f"B={BATCH} L={SEQ} items={N_ITEMS} "
+                   f"compute={args.compute_dtype} "
+                   f"emb={args.embedding_dtype}"),
     }))
 
 
