@@ -98,6 +98,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(needs enable_bn False)")
     p.add_argument("--etl_processes", type=int, default=1,
                    help="parallel workers for expanding-history ETL")
+    p.add_argument("--etl_native", action="store_true",
+                   help="C++ expanding-history generation (numeric-id "
+                        "datasets; falls back to Python otherwise)")
     return p
 
 
@@ -213,7 +216,8 @@ def main(argv=None) -> int:
                 valid_num_ngs=args.val_num_ngs,
                 test_num_ngs=args.test_num_ngs, dataset=args.dataset,
                 is_history_expanding=args.is_history_expanding,
-                seed=args.seed, processes=args.etl_processes)
+                seed=args.seed, processes=args.etl_processes,
+                engine="native" if args.etl_native else "python")
         else:
             raise SystemExit(
                 f"{train_file} missing; pass --raw_data to preprocess")

@@ -233,6 +233,10 @@ class Config:
                                       # for L >= 1000 histories; needs
                                       # enable_bn False (BN-free scorer)
     use_pallas_scan: bool = False     # hand-written recurrence kernel (ops/pallas_scan.py)
+    scan_unroll: int = 1              # lax.scan unroll factor for the
+                                      # recurrences (identical math; cuts
+                                      # per-iteration loop overhead for
+                                      # long histories)
     train_steps_per_call: int = 8     # K steps per dispatch (steps.py:make_multi_train_step)
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)

@@ -228,12 +228,53 @@ def _expand_chunk(args) -> None:
             f.close()
 
 
+def _try_native_expand(df: pd.DataFrame, train_file: str, valid_file: str,
+                       test_file: str, subsample: Dict[str, float],
+                       min_sequence: int,
+                       rng: Optional[np.random.RandomState]) -> Optional[int]:
+    """Run the C++ line generator when ids/timestamps are numeric.
+
+    Returns lines written, or None to fall back to the Python path
+    (non-numeric ids, no compiler).  Subsample rng is mt19937 (native) —
+    distribution identical to the numpy path, kept-line set differs;
+    the train split (frac 1.0) is byte-identical.
+    """
+    try:
+        from clsr_tpu import native
+        if not native.available():
+            return None
+        cols = []
+        for c in ("user_id", "item_id", "cate_id", "timestamp"):
+            arr = df[c].to_numpy()
+            a64 = arr.astype(np.int64)
+            if not np.array_equal(a64, arr.astype(np.float64)
+                                  if arr.dtype.kind == "f" else arr):
+                return None  # lossy conversion
+            cols.append(a64)
+    except Exception:
+        return None
+    users = cols[0]
+    starts = np.flatnonzero(
+        np.concatenate([[True], users[1:] != users[:-1]]))
+    offsets = np.concatenate([starts, [len(users)]]).astype(np.int64)
+    split_idx = pd.Categorical(
+        df["_split"], categories=["train", "valid", "test"]).codes \
+        .astype(np.int8)
+    sub3 = np.asarray([subsample.get(s, 1.0)
+                       for s in ("train", "valid", "test")], np.float64)
+    seed = int((rng or np.random.RandomState()).randint(0, 2 ** 63 - 1))
+    return native.expand_lines_native(
+        users, cols[1], cols[2], cols[3], split_idx, offsets, sub3,
+        min_sequence, seed, train_file, valid_file, test_file)
+
+
 def generate_expanding(instances: pd.DataFrame, splits: pd.Series,
                        train_file: str, valid_file: str, test_file: str,
                        subsample: Dict[str, float],
                        min_sequence: int = 1,
                        rng: Optional[np.random.RandomState] = None,
-                       processes: int = 1) -> None:
+                       processes: int = 1,
+                       engine: str = "python") -> None:
     """Expanding-history TSV generation (:358-438).
 
     For each user's chronological stream, every event beyond the first
@@ -246,8 +287,15 @@ def generate_expanding(instances: pd.DataFrame, splits: pd.Series,
     own subsample RandomState(seed+worker) — the kept-line SET differs
     from the single-process stream but the sampling distribution is
     identical); part files are concatenated in worker order.
+    `engine='native'` runs the whole loop in C++ for numeric-id datasets
+    (~6x; falls back to Python when ids are strings).
     """
     df = instances.assign(_split=splits.values)
+    if engine == "native":
+        n = _try_native_expand(df, train_file, valid_file, test_file,
+                               subsample, min_sequence, rng)
+        if n is not None:
+            return
     if processes > 1:
         _generate_expanding_mp(df, train_file, valid_file, test_file,
                                subsample, min_sequence, rng, processes)
@@ -414,11 +462,13 @@ def data_preprocessing(reviews_file: str, train_file: str, valid_file: str,
                        dataset: str = "taobao",
                        is_history_expanding: bool = True,
                        seed: Optional[int] = None,
-                       processes: int = 1) -> None:
+                       processes: int = 1,
+                       engine: str = "python") -> None:
     """Full pipeline, mirroring sequential_reviews.py:27-74.
 
-    `processes` > 1 parallelizes the expanding-history line generation
-    (see generate_expanding)."""
+    `processes` > 1 parallelizes the expanding-history line generation;
+    `engine='native'` runs it in C++ for numeric-id datasets (see
+    generate_expanding)."""
     rng = np.random.RandomState(seed)
     if dataset == "taobao":
         reviews, meta = taobao_main(reviews_file, rng)
@@ -444,7 +494,7 @@ def data_preprocessing(reviews_file: str, train_file: str, valid_file: str,
     if is_history_expanding:
         generate_expanding(instances, splits, train_file, valid_file,
                            test_file, subsample, rng=rng,
-                           processes=processes)
+                           processes=processes, engine=engine)
     else:
         generate_no_expanding(instances, splits, train_file, valid_file,
                               test_file)

@@ -116,6 +116,7 @@ class CLSRModel(SequentialModelBase):
                 interest_evolve=cfg.interest_evolve,
                 predict_long_short=cfg.predict_long_short,
                 use_pallas=cfg.use_pallas_scan, dtype=cdt,
+                unroll=cfg.scan_unroll,
                 name="fused_encoders",
             )(hist, batch.time_from_first, batch.time_to_now, mask,
               user_short)
@@ -124,21 +125,24 @@ class CLSRModel(SequentialModelBase):
             if cfg.interest_evolve:
                 _, short_term_intention = GRU(
                     cfg.user_embedding_dim, dtype=cdt,
-                    name="short_term_intention",
+                    unroll=cfg.scan_unroll, name="short_term_intention",
                 )(hist, mask, init_state=user_short)
             else:
                 short_term_intention = user_short   # [B, 40]
             if cfg.sequential_model == "time4lstm":
                 rnn_outputs, _ = Time4LSTM(cfg.hidden_size, dtype=cdt,
+                                           unroll=cfg.scan_unroll,
                                            name="time4lstm")(
                     hist, t_last=batch.time_from_first,
                     t_now=batch.time_to_now, mask=mask)
             elif cfg.sequential_model == "gru":
                 rnn_outputs, _ = GRU(cfg.hidden_size, dtype=cdt,
+                                     unroll=cfg.scan_unroll,
                                      name="simple_gru")(
                     hist, mask)
             elif cfg.sequential_model == "lstm":
                 rnn_outputs, _ = LSTM(cfg.hidden_size, dtype=cdt,
+                                      unroll=cfg.scan_unroll,
                                       name="simple_lstm")(
                     hist, mask)
             else:
@@ -159,6 +163,7 @@ class CLSRModel(SequentialModelBase):
             if cfg.predict_long_short:
                 if causal2_state is None:
                     _, causal2_state = GRU(cfg.hidden_size, dtype=cdt,
+                                           unroll=cfg.scan_unroll,
                                            name="causal2")(hist, mask)
                 parts.append(jnp.broadcast_to(
                     causal2_state[:, None, :], (B, G, causal2_state.shape[-1])))

@@ -66,6 +66,12 @@ def _load():
             ctypes.c_void_p, f32, i32, i32, i32, f64, i64, i32, i32,
             f32, f32, f32]
         lib.clsr_result_free.argtypes = [ctypes.c_void_p]
+        i8 = np.ctypeslib.ndpointer(np.int8)
+        lib.clsr_expand_lines.restype = ctypes.c_int64
+        lib.clsr_expand_lines.argtypes = [
+            i64, i64, i64, i64, i8, i64, ctypes.c_int64, f64,
+            ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
         _lib = lib
         return _lib
 
@@ -123,3 +129,32 @@ def parse_file_native(path: str, user_vocab: NativeVocab,
         lib.clsr_result_free(res)
     return (labels, users, items, cates, times, offsets, hist_items,
             hist_cates, td, tff, ttn)
+
+
+def expand_lines_native(users, items, cates, times, split_idx, offsets,
+                        subsample3, min_sequence: int, seed: int,
+                        train_path: str, valid_path: str,
+                        test_path: str) -> int:
+    """Expanding-history TSV generation in C++ (numeric-id datasets).
+
+    All arrays contiguous: users/items/cates/times int64 [n], split_idx
+    int8 [n] (0 train / 1 valid / 2 test), offsets int64 [n_groups+1],
+    subsample3 float64 [3].  Returns lines written; raises on I/O error.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = lib.clsr_expand_lines(
+        np.ascontiguousarray(users, np.int64),
+        np.ascontiguousarray(items, np.int64),
+        np.ascontiguousarray(cates, np.int64),
+        np.ascontiguousarray(times, np.int64),
+        np.ascontiguousarray(split_idx, np.int8),
+        np.ascontiguousarray(offsets, np.int64),
+        len(offsets) - 1,
+        np.ascontiguousarray(subsample3, np.float64),
+        min_sequence, seed,
+        train_path.encode(), valid_path.encode(), test_path.encode())
+    if n < 0:
+        raise IOError("native expand_lines failed (I/O error)")
+    return int(n)

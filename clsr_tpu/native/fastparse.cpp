@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <random>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -225,5 +226,91 @@ void clsr_result_fill(void* rp, float* labels, int32_t* users,
 }
 
 void clsr_result_free(void* rp) { delete static_cast<ParseResult*>(rp); }
+
+// ---------------------------------------------------------------------------
+// Expanding-history line generation (reference: sequential_reviews.py:358-438;
+// python counterpart: clsr_tpu/data/etl.py:generate_expanding).
+//
+// For numeric-id datasets the whole per-user loop — incremental prefix
+// strings, per-line subsampling, buffered file writes — runs here.  The
+// subsample rng is mt19937_64 (one uniform per candidate line whose
+// split has frac < 1, in stream order) — the kept-line SET differs from
+// the numpy path for a given seed, the distribution is identical; the
+// train split (frac 1.0) is byte-identical.
+//
+// Returns the number of lines written, or -1 on I/O error.
+int64_t clsr_expand_lines(const int64_t* users, const int64_t* items,
+                          const int64_t* cates, const int64_t* times,
+                          const int8_t* split_idx, const int64_t* offsets,
+                          int64_t n_groups, const double* subsample,
+                          int64_t min_sequence, uint64_t seed,
+                          const char* train_path, const char* valid_path,
+                          const char* test_path) {
+  FILE* outs[3] = {fopen(train_path, "w"), fopen(valid_path, "w"),
+                   fopen(test_path, "w")};
+  for (FILE* f : outs) {
+    if (!f) {
+      for (FILE* g : outs)
+        if (g) fclose(g);
+      return -1;
+    }
+  }
+  std::vector<char> bufs[3];
+  for (auto& b : bufs) b.resize(1 << 20);
+  for (int s = 0; s < 3; ++s)
+    setvbuf(outs[s], bufs[s].data(), _IOFBF, bufs[s].size());
+
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+
+  std::string ih, ch, th, line;
+  char tmp[32];
+  auto append_int = [&tmp](std::string& dst, int64_t v) {
+    int len = snprintf(tmp, sizeof(tmp), "%lld", (long long)v);
+    dst.append(tmp, len);
+  };
+
+  int64_t written = 0;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    int64_t lo = offsets[g], hi = offsets[g + 1];
+    if (hi <= lo) continue;
+    ih.clear(); ch.clear(); th.clear();
+    append_int(ih, items[lo]);
+    append_int(ch, cates[lo]);
+    append_int(th, times[lo]);
+    for (int64_t k = lo + 1; k < hi; ++k) {
+      int s = split_idx[k];
+      double frac = subsample[s];
+      bool keep = true;
+      if (frac < 1.0) keep = uni(rng) < frac;
+      if (keep && (k - lo) >= min_sequence) {
+        line.clear();
+        line += "1\t";
+        append_int(line, users[lo]);
+        line += '\t';
+        append_int(line, items[k]);
+        line += '\t';
+        append_int(line, cates[k]);
+        line += '\t';
+        append_int(line, times[k]);
+        line += '\t';
+        line += ih; line += '\t';
+        line += ch; line += '\t';
+        line += th; line += '\n';
+        fwrite(line.data(), 1, line.size(), outs[s]);
+        ++written;
+      }
+      if (k < hi - 1) {
+        ih += ','; append_int(ih, items[k]);
+        ch += ','; append_int(ch, cates[k]);
+        th += ','; append_int(th, times[k]);
+      }
+    }
+  }
+  int64_t rc = written;
+  for (FILE* f : outs)
+    if (fclose(f) != 0) rc = -1;
+  return rc;
+}
 
 }  // extern "C"

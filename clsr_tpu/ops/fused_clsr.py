@@ -46,6 +46,7 @@ class FusedCLSREncoder(nn.Module):
     predict_long_short: bool = True
     use_pallas: bool = False   # hand-written TPU kernel (ops/pallas_scan.py)
     dtype: "Optional[jnp.dtype]" = None  # bf16 matmuls, f32 carry/gates
+    unroll: int = 1                      # lax.scan unroll factor
 
     @nn.compact
     def __call__(self, hist: jnp.ndarray, t_last: jnp.ndarray,
@@ -174,6 +175,6 @@ class FusedCLSREncoder(nn.Module):
             step, (h1_0, c0, m0, h2_0),
             tuple(_to_time_major(x) for x in
                   (xg1, xc1, xw, tn_state, tl_state, o_time, xg2, xc2))
-            + (_to_time_major(mask),))
+            + (_to_time_major(mask),), unroll=self.unroll)
 
         return h1_f, _to_batch_major(outs), h2_f

@@ -52,11 +52,14 @@ def _f32(a, dt):
     return a if dt is None else a.astype(jnp.float32)
 
 
-def _masked_scan(step_fn, carry0, xs_time_major, mask_time_major):
+def _masked_scan(step_fn, carry0, xs_time_major, mask_time_major,
+                 unroll: int = 1):
     """Run `step_fn` over time with carry-through masking.
 
     step_fn(carry, x_t) -> (new_carry, out_t); mask is [L, B].
     Carry leaves are [B, H]-shaped; outputs are zeroed past seq length.
+    `unroll` > 1 unrolls that many iterations per XLA while-loop step
+    (identical math; less loop overhead for long L).
     """
 
     def body(carry, inp):
@@ -68,7 +71,8 @@ def _masked_scan(step_fn, carry0, xs_time_major, mask_time_major):
         )
         return blended, m * out_t
 
-    final, outs = jax.lax.scan(body, carry0, (xs_time_major, mask_time_major))
+    final, outs = jax.lax.scan(body, carry0, (xs_time_major, mask_time_major),
+                               unroll=unroll)
     return final, outs
 
 
@@ -88,6 +92,7 @@ class GRU(nn.Module):
 
     hidden_size: int
     dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
+    unroll: int = 1                     # lax.scan unroll factor
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -119,7 +124,7 @@ class GRU(nn.Module):
         final, outs = _masked_scan(
             step, h0,
             (_to_time_major(xg), _to_time_major(xc)),
-            _to_time_major(mask),
+            _to_time_major(mask), unroll=self.unroll,
         )
         return _to_batch_major(outs), final
 
@@ -129,6 +134,7 @@ class LSTM(nn.Module):
 
     hidden_size: int
     dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
+    unroll: int = 1                     # lax.scan unroll factor
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -157,7 +163,8 @@ class LSTM(nn.Module):
             return (c_new, m_new), m_new
 
         (c_f, m_f), outs = _masked_scan(
-            step, init_state, _to_time_major(xw), _to_time_major(mask)
+            step, init_state, _to_time_major(xw), _to_time_major(mask),
+            unroll=self.unroll,
         )
         return _to_batch_major(outs), (c_f, m_f)
 
@@ -172,6 +179,7 @@ class Time4LSTM(nn.Module):
 
     hidden_size: int
     dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
+    unroll: int = 1                     # lax.scan unroll factor
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_last: jnp.ndarray,
@@ -230,7 +238,7 @@ class Time4LSTM(nn.Module):
             step, carry0,
             (_to_time_major(xw), _to_time_major(tn_state),
              _to_time_major(tl_state), _to_time_major(o_time)),
-            _to_time_major(mask),
+            _to_time_major(mask), unroll=self.unroll,
         )
         return _to_batch_major(outs), (c_f, m_f)
 
@@ -269,6 +277,7 @@ class VecAttGRU(nn.Module):
 
     hidden_size: int
     dtype: Optional[jnp.dtype] = None   # bf16 matmuls, f32 carry/gates
+    unroll: int = 1                     # lax.scan unroll factor
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, att_scores: jnp.ndarray,
@@ -319,6 +328,7 @@ class VecAttGRU(nn.Module):
             body, h0,
             (_to_time_major(xg), _to_time_major(xc),
              jnp.moveaxis(att_g, 2, 0), _to_time_major(mask)),
+            unroll=self.unroll,
         )
         outs = jnp.moveaxis(outs, 0, 2)          # [B,G,L,H]
         if not grouped:

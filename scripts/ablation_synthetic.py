@@ -37,6 +37,10 @@ def main():
                     help="use the planted long/short interest-drift "
                          "generator (write_drift_dataset) so the "
                          "disentanglement losses have signal to exploit")
+    ap.add_argument("--seed", type=int, default=3,
+                    help="dataset seed (train seed = seed + 8)")
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset of variants to run")
     args = ap.parse_args()
 
     from clsr_tpu.config import Config
@@ -53,11 +57,11 @@ def main():
     if args.drift:
         paths = write_drift_dataset(workdir, n_users=1200, n_items=600,
                                     n_cates=30, valid_num_ngs=4,
-                                    test_num_ngs=49, seed=3)
+                                    test_num_ngs=49, seed=args.seed)
     else:
         paths = write_synthetic_dataset(workdir, n_users=1200, n_items=600,
                                         n_cates=30, valid_num_ngs=4,
-                                        test_num_ngs=49, seed=3)
+                                        test_num_ngs=49, seed=args.seed)
     uv, iv, cv = (load_vocab(paths["user_vocab"]),
                   load_vocab(paths["item_vocab"]),
                   load_vocab(paths["cate_vocab"]))
@@ -66,14 +70,16 @@ def main():
                for n in ("train", "valid", "test")}
 
     results = {}
-    for name, overrides in VARIANTS.items():
+    chosen = (dict(VARIANTS) if args.variants is None else
+              {k: VARIANTS[k] for k in args.variants.split(",")})
+    for name, overrides in chosen.items():
         cfg = Config(
             model_type="clsr", user_vocab="u", item_vocab="i",
             cate_vocab="c", max_seq_length=L, batch_size=256,
             train_num_ngs=4, valid_num_ngs=4, test_num_ngs=49,
             hidden_size=40, item_embedding_dim=32, cate_embedding_dim=8,
             user_embedding_dim=40, epochs=args.epochs, early_stop=4,
-            show_step=0, save_model=False, seed=11, **overrides,
+            show_step=0, save_model=False, seed=args.seed + 8, **overrides,
         ).validate()
         model = get_model_class("clsr")(
             cfg=cfg, n_users=len(uv), n_items=len(iv), n_cates=len(cv))

@@ -33,6 +33,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--embedding_dtype", default="float32")
+    ap.add_argument("--scan_unroll", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -50,7 +51,8 @@ def main():
                       max_seq_length=SEQ, time_unit="ms",
                       train_steps_per_call=STEPS_PER_CALL,
                       compute_dtype=args.compute_dtype,
-                      embedding_dtype=args.embedding_dtype)
+                      embedding_dtype=args.embedding_dtype,
+                      scan_unroll=args.scan_unroll)
     model = get_model_class("clsr")(
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
 
@@ -98,7 +100,8 @@ def main():
         "unit": "examples/sec",
         "config": (f"B={BATCH} L={SEQ} items={N_ITEMS} "
                    f"compute={args.compute_dtype} "
-                   f"emb={args.embedding_dtype}"),
+                   f"emb={args.embedding_dtype} "
+                   f"unroll={args.scan_unroll}"),
     }))
 
 

@@ -109,3 +109,64 @@ def test_expanding_history_is_prefix(raw_taobao, tmp_path):
             assert b.startswith(a)
             checked += 1
     assert checked > 0
+
+
+def test_native_expand_matches_python_train_split():
+    """engine='native' (C++ line generation): train split byte-identical
+    (no rng at frac 1.0); valid/test counts in the sampling range."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from clsr_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.RandomState(0)
+    n = 20_000
+    users = np.sort(rng.randint(0, 600, n))
+    df = pd.DataFrame({
+        "user_id": users,
+        "item_id": rng.randint(1, 5000, n),
+        "cate_id": rng.randint(1, 100, n),
+        "timestamp": np.sort(1_500_000_000 + rng.randint(0, 9 * 24 * 3600, n)),
+    }).sort_values(["user_id", "timestamp"], kind="stable")
+    splits = etl.split_global_time(df, 24 * 3600)
+    sub = {"train": 1.0, "valid": 0.2, "test": 0.2}
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = lambda t, s: os.path.join(d, f"{t}_{s}")
+    etl.generate_expanding(df, splits, p("py", "tr"), p("py", "va"),
+                           p("py", "te"), sub,
+                           rng=np.random.RandomState(3))
+    etl.generate_expanding(df, splits, p("na", "tr"), p("na", "va"),
+                           p("na", "te"), sub,
+                           rng=np.random.RandomState(3), engine="native")
+    assert open(p("py", "tr")).read() == open(p("na", "tr")).read()
+    for s in ("va", "te"):
+        npy = sum(1 for _ in open(p("py", s)))
+        nna = sum(1 for _ in open(p("na", s)))
+        assert 0.7 < nna / max(npy, 1) < 1.4, (s, npy, nna)
+
+
+def test_native_expand_falls_back_on_string_ids(tmp_path):
+    """String user/item ids are not numeric-convertible -> python path."""
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "user_id": ["uA", "uA", "uA", "uB", "uB", "uB"],
+        "item_id": ["i1", "i2", "i3", "i2", "i4", "i5"],
+        "cate_id": ["c1", "c1", "c2", "c1", "c2", "c2"],
+        "timestamp": [10, 20, 30, 15, 25, 35],
+    })
+    splits = pd.Series(["train"] * 6)
+    out = {s: str(tmp_path / s) for s in ("tr", "va", "te")}
+    etl.generate_expanding(df, splits, out["tr"], out["va"], out["te"],
+                           {"train": 1.0}, rng=np.random.RandomState(0),
+                           engine="native")
+    lines = open(out["tr"]).read().splitlines()
+    assert len(lines) == 4                      # 2 users x (3-1) events
+    assert lines[0].split("\t")[1] == "uA"      # string ids intact
