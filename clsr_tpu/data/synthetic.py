@@ -184,13 +184,17 @@ def make_drift_events(n_users: int, n_items: int, n_cates: int,
     t0 = 1_500_000_000
     for u in range(1, n_users + 1):
         long_prefs = rng.choice(n_cates, size=2, replace=False) + 1
+        # burst categories are drawn from OUTSIDE the user's long-term
+        # prefs, so the planted long/short divergence is never diluted
+        # by a burst landing on a stable category
+        others = np.setdiff1d(np.arange(1, n_cates + 1), long_prefs)
         alpha_u = 0.25 + 0.5 * rng.rand()
         n_ev = rng.randint(min_events, max_events + 1)
-        burst = 1 + rng.randint(n_cates)
+        burst = others[rng.randint(len(others))]
         items = np.empty(n_ev, dtype=np.int64)
         for e in range(n_ev):
             if e % burst_len == 0:
-                burst = 1 + rng.randint(n_cates)
+                burst = others[rng.randint(len(others))]
             if rng.rand() < alpha_u:
                 cate = long_prefs[rng.randint(2)]
             else:

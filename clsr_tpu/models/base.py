@@ -64,6 +64,27 @@ def lookup_cast(cfg: Config, emb: jnp.ndarray) -> jnp.ndarray:
         return emb.astype(jnp.float32)
     return emb
 
+
+def lookup_rows(module: "nn.Module", cfg: Config, table: jnp.ndarray,
+                ids: jnp.ndarray, name: str) -> jnp.ndarray:
+    """Gather + dequantize table rows.
+
+    Serving can swap a table param for an int8 row-quantized version
+    plus a `<name>_scales` [N, 1] float32 param
+    (serving.py:ScoringService quantize_tables) — 4x less HBM and
+    gather bandwidth at inference.  Detected here by dtype: int8 rows
+    are dequantized with their gathered per-row scales; f32/bf16 tables
+    take the normal path.  Training never sees int8 (the quantized
+    state is a serving-side transform)."""
+    from clsr_tpu.parallel.embedding import gather_rows
+
+    rows = gather_rows(table, ids)
+    if table.dtype == jnp.int8:
+        scales = module.get_variable("params", f"{name}_scales")
+        srows = gather_rows(scales, ids)            # ids.shape + (1,)
+        return rows.astype(jnp.float32) * srows
+    return lookup_cast(cfg, rows)
+
 def unique_rows_sumsq(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """sum(||table[id]||^2) over the UNIQUE ids, jit-safe.
 
@@ -142,14 +163,15 @@ class SequentialModelBase(nn.Module):
         cate_table = self.param(
             "cate_embedding", e_init, (self.n_cates, cfg.cate_embedding_dim))
 
-        item_hist_emb = lookup_cast(cfg, gather_rows(item_table,
-                                                     batch.item_hist))
-        cate_hist_emb = lookup_cast(cfg, gather_rows(cate_table,
-                                                     batch.cate_hist))
+        item_hist_emb = lookup_rows(self, cfg, item_table,
+                                    batch.item_hist, "item_embedding")
+        cate_hist_emb = lookup_rows(self, cfg, cate_table,
+                                    batch.cate_hist, "cate_embedding")
         target_emb = jnp.concatenate(
-            [lookup_cast(cfg, gather_rows(item_table, batch.items)),
-             lookup_cast(cfg, gather_rows(cate_table, batch.cates))],
-            axis=-1)
+            [lookup_rows(self, cfg, item_table, batch.items,
+                         "item_embedding"),
+             lookup_rows(self, cfg, cate_table, batch.cates,
+                         "cate_embedding")], axis=-1)
 
         # lazy L2 bookkeeping BEFORE dropout, on raw table rows
         involved_items = jnp.concatenate(

@@ -56,7 +56,7 @@ class CLSRModel(SequentialModelBase):
         init = get_initializer(cfg.init_method, cfg.init_value)
         B, G = batch.items.shape
 
-        from clsr_tpu.models.base import embedding_init, lookup_cast
+        from clsr_tpu.models.base import embedding_init, lookup_rows
         e_init = embedding_init(cfg, init)
         user_long_table = self.param(
             "user_long_embedding", e_init,
@@ -65,13 +65,12 @@ class CLSRModel(SequentialModelBase):
             "user_short_embedding", e_init,
             (self.n_users, cfg.user_embedding_dim))
 
-        from clsr_tpu.parallel.embedding import gather_rows
         user_long = self._dropout(
-            lookup_cast(cfg, gather_rows(user_long_table, batch.users)),
-            train)
+            lookup_rows(self, cfg, user_long_table, batch.users,
+                        "user_long_embedding"), train)
         user_short = self._dropout(
-            lookup_cast(cfg, gather_rows(user_short_table, batch.users)),
-            train)
+            lookup_rows(self, cfg, user_short_table, batch.users,
+                        "user_short_embedding"), train)
 
         # involved-user L2 + discrepancy bookkeeping (clsr.py:73-82,118-127)
         sumsq_l, sumsq_s, sumsq_diff, n_elems = unique_rows_stats(

@@ -23,19 +23,20 @@ class NCFModel(SequentialModelBase):
         init = get_initializer(cfg.init_method, cfg.init_value)
         d = cfg.user_embedding_dim
 
-        from clsr_tpu.models.base import embedding_init, lookup_cast
+        from clsr_tpu.models.base import embedding_init, lookup_rows
         e_init = embedding_init(cfg, init)
         user_gmf = self.param("user_gmf_embedding", e_init, (self.n_users, d))
         user_mlp = self.param("user_mlp_embedding", e_init, (self.n_users, d))
         item_gmf = self.param("item_gmf_embedding", e_init, (self.n_items, d))
         item_mlp = self.param("item_mlp_embedding", e_init, (self.n_items, d))
 
-        from clsr_tpu.parallel.embedding import gather_rows
-        lc = lambda e: lookup_cast(cfg, e)
-        u_gmf = lc(gather_rows(user_gmf, batch.users))[:, None, :]  # [B,1,d]
-        u_mlp = lc(gather_rows(user_mlp, batch.users))[:, None, :]
-        i_gmf = lc(gather_rows(item_gmf, batch.items))              # [B,G,d]
-        i_mlp = lc(gather_rows(item_mlp, batch.items))
+        lr_ = lambda t, ids, n: lookup_rows(self, cfg, t, ids, n)
+        u_gmf = lr_(user_gmf, batch.users,
+                    "user_gmf_embedding")[:, None, :]          # [B,1,d]
+        u_mlp = lr_(user_mlp, batch.users,
+                    "user_mlp_embedding")[:, None, :]
+        i_gmf = lr_(item_gmf, batch.items, "item_gmf_embedding")  # [B,G,d]
+        i_mlp = lr_(item_mlp, batch.items, "item_mlp_embedding")
 
         gmf = u_gmf * i_gmf                            # [B, G, d]
         B, G = batch.items.shape

@@ -60,7 +60,8 @@ class ScoringService:
                  cate_vocab: Vocab,
                  checkpoint: Optional[str] = None,
                  batch_buckets: Sequence[int] = (8, 64),
-                 cand_buckets: Sequence[int] = (16, 128, 512)):
+                 cand_buckets: Sequence[int] = (16, 128, 512),
+                 int8_tables: bool = False):
         self.cfg = cfg
         self.vocabs = (user_vocab, item_vocab, cate_vocab)
         self.model = get_model_class(cfg.model_type)(
@@ -74,7 +75,31 @@ class ScoringService:
         self.state = create_train_state(self.model, cfg, sample)
         if checkpoint is not None:
             self.load(checkpoint)
+        if int8_tables:
+            self.quantize_tables()
         self._eval_step = make_eval_step(self.model, cfg)
+
+    # ------------------------------------------------------------- int8
+    def quantize_tables(self) -> None:
+        """Row-quantize the embedding tables to int8 (4x less serving
+        HBM and gather bandwidth).
+
+        Symmetric per-row: scale = max|row| / 127, q = round(row /
+        scale).  Adds `<name>_scales` [N, 1] f32 params; lookups
+        dequantize after the gather (models/base.py:lookup_rows).
+        Inference-only — never feed a quantized state to training."""
+        params = dict(self.state.params)
+        for name in list(params):
+            if not str(name).endswith("_embedding"):
+                continue
+            table = np.asarray(params[name], np.float32)
+            scale = np.abs(table).max(axis=1, keepdims=True) / 127.0
+            scale = np.maximum(scale, 1e-12)
+            q = np.clip(np.round(table / scale), -127, 127).astype(np.int8)
+            params[name] = jax.device_put(q)
+            params[f"{name}_scales"] = jax.device_put(
+                scale.astype(np.float32))
+        self.state = self.state.replace(params=params)
 
     # ------------------------------------------------------------- ckpt
     def load(self, path: str) -> None:

@@ -15,25 +15,29 @@ from clsr_tpu.data.synthetic import make_drift_events, write_drift_dataset
 from clsr_tpu.data.vocab import load_vocab
 
 
-def test_long_term_prefs_are_stable_bursts_are_not():
+def test_planted_mixture_is_recoverable():
+    """The share of a user's events falling in their top-2 whole-stream
+    categories must track the planted long-term mixture alpha_u — the
+    signal the fusion gate is supposed to learn."""
     events, item2cate, alphas = make_drift_events(
         n_users=200, n_items=300, n_cates=30, min_events=30, max_events=40,
         seed=0)
-    stable_frac = []
+    shares, planted = [], []
     for u, (items, _) in events.items():
-        cates = item2cate[items]
-        half = len(cates) // 2
-        top_first = {c for c, _ in collections.Counter(
-            cates[:half].tolist()).most_common(2)}
-        top_second = {c for c, _ in collections.Counter(
-            cates[half:].tolist()).most_common(2)}
-        stable_frac.append(len(top_first & top_second) / 2.0)
-    # long-term prefs dominate both halves for most users...
-    assert np.mean(stable_frac) > 0.5
-    # ...but histories are NOT single-category (bursts inject variety)
-    n_cates_seen = [len(set(item2cate[items].tolist()))
-                    for items, _ in events.values()]
-    assert np.mean(n_cates_seen) > 4
+        cates = item2cate[items].tolist()
+        top2 = {c for c, _ in collections.Counter(cates).most_common(2)}
+        shares.append(np.mean([c in top2 for c in cates]))
+        planted.append(alphas[u])
+    shares, planted = np.asarray(shares), np.asarray(planted)
+    # per-user share correlates with the planted alpha...
+    assert np.corrcoef(shares, planted)[0, 1] > 0.5
+    # ...and is close in level (top-2 share slightly overestimates alpha
+    # because bursts can repeat inside a window)
+    assert abs(shares.mean() - planted.mean()) < 0.15
+    # histories are NOT single-category (bursts inject variety)
+    n_seen = [len(set(item2cate[items].tolist()))
+              for items, _ in events.values()]
+    assert np.mean(n_seen) > 4
 
 
 def test_write_drift_dataset_roundtrip(tmp_path):

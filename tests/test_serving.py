@@ -100,6 +100,28 @@ def test_service_bucket_routing_and_batching(trained):
     np.testing.assert_allclose(again, scores[0], rtol=1e-6)
 
 
+def test_int8_tables_score_close_to_f32(trained):
+    """int8 row-quantized serving tables: params stored int8 + scales,
+    scores within quantization tolerance of the f32 service."""
+    cfg, (uv, iv, cv), ckpt, _ = trained
+    kw = dict(batch_buckets=(4,), cand_buckets=(8,))
+    f32 = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv,
+                         checkpoint=ckpt, **kw)
+    q8 = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv,
+                        checkpoint=ckpt, int8_tables=True, **kw)
+    for name in ("item_embedding", "cate_embedding",
+                 "user_long_embedding", "user_short_embedding"):
+        assert q8.state.params[name].dtype == np.int8, name
+        assert q8.state.params[f"{name}_scales"].dtype == np.float32
+    reqs = [_req("u3", [1, 5, 9, 2], [7, 11, 3]),
+            _req("u9", [4, 8, 8, 2, 6], [2, 6, 10, 14])]
+    a = f32.score(reqs)
+    b = q8.score(reqs)
+    for sa, sb in zip(a, b):
+        np.testing.assert_allclose(sb, sa, atol=0.03)
+        assert np.isfinite(sb).all()
+
+
 def test_service_rejects_oversized_request(trained):
     cfg, (uv, iv, cv), ckpt, _ = trained
     svc = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv,
