@@ -101,6 +101,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--etl_native", action="store_true",
                    help="C++ expanding-history generation (numeric-id "
                         "datasets; falls back to Python otherwise)")
+    p.add_argument("--etl_format", default="tsv", choices=["tsv", "packed"],
+                   help="ETL output: expanding-history TSVs (reference "
+                        "layout) or the O(events) packed binary "
+                        "(data/packed.py)")
+    p.add_argument("--data_format", default="auto",
+                   choices=["auto", "tsv", "packed"],
+                   help="training input: auto = packed.npz when present "
+                        "(unless an ablation iterator needs the TSV path)")
     return p
 
 
@@ -191,12 +199,18 @@ def main(argv=None) -> int:
     from clsr_tpu.training.evaluator import predict_to_file, run_weighted_eval
     from clsr_tpu.training.trainer import Trainer
 
+    from clsr_tpu.data.packed import (PACKED_FILENAME,
+                                      build_interaction_graph_packed,
+                                      load_packed, make_loader)
+    from clsr_tpu.data.parser import time_range_for_unit
+
     data_dir = os.path.join(args.data_path, args.dataset)
     train_file = os.path.join(data_dir, "train_data")
     valid_file = os.path.join(data_dir, "valid_data")
     test_file = os.path.join(data_dir, "test_data")
+    packed_file = os.path.join(data_dir, PACKED_FILENAME)
 
-    if not os.path.exists(train_file):
+    if not os.path.exists(train_file) and not os.path.exists(packed_file):
         os.makedirs(data_dir, exist_ok=True)
         if args.dataset == "synthetic":
             write_synthetic_dataset(data_dir, valid_num_ngs=args.val_num_ngs,
@@ -217,26 +231,54 @@ def main(argv=None) -> int:
                 test_num_ngs=args.test_num_ngs, dataset=args.dataset,
                 is_history_expanding=args.is_history_expanding,
                 seed=args.seed, processes=args.etl_processes,
-                engine="native" if args.etl_native else "python")
+                engine="native" if args.etl_native else "python",
+                output_format=args.etl_format)
         else:
             raise SystemExit(
                 f"{train_file} missing; pass --raw_data to preprocess")
+
+    use_packed = args.data_format == "packed" or (
+        args.data_format == "auto" and os.path.exists(packed_file)
+        and args.shuffle_history_seed is None)
+    if use_packed and not os.path.exists(packed_file):
+        raise SystemExit(f"{packed_file} missing; rerun the ETL with "
+                         f"--etl_format packed")
+    if use_packed and args.shuffle_history_seed is not None:
+        raise SystemExit("--shuffle_history_seed needs the TSV path "
+                         "(--data_format tsv)")
 
     uv = load_vocab(cfg.user_vocab)
     iv = load_vocab(cfg.item_vocab)
     cv = load_vocab(cfg.cate_vocab)
 
     loaders = {}
-    for name, path in (("train", train_file), ("valid", valid_file),
-                       ("test", test_file)):
-        ds = parse_file(path, uv, iv, cv, time_unit=cfg.time_unit,
-                        recent_k=args.counterfactual_recent_k,
-                        shuffle_seed=args.shuffle_history_seed)
-        loaders[name] = SequenceLoader(ds, cfg.max_seq_length)
+    if use_packed:
+        pack = load_packed(packed_file)
+        for name, ngs in (("train", 0), ("valid", cfg.valid_num_ngs),
+                          ("test", cfg.test_num_ngs)):
+            stored = pack.splits[name].num_ngs
+            if ngs and stored != ngs:
+                raise SystemExit(
+                    f"packed {name} split has {stored} negatives per line "
+                    f"but the run asks for {ngs}; regenerate the pack")
+            loaders[name] = make_loader(
+                pack, name, cfg.max_seq_length,
+                time_range_for_unit(cfg.time_unit),
+                recent_k=args.counterfactual_recent_k)
+    else:
+        for name, path in (("train", train_file), ("valid", valid_file),
+                           ("test", test_file)):
+            ds = parse_file(path, uv, iv, cv, time_unit=cfg.time_unit,
+                            recent_k=args.counterfactual_recent_k,
+                            shuffle_seed=args.shuffle_history_seed)
+            loaders[name] = SequenceLoader(ds, cfg.max_seq_length)
 
     kwargs = dict(cfg=cfg, n_users=len(uv), n_items=len(iv), n_cates=len(cv))
     if cfg.model_type == "lgn":
-        kwargs["graph"] = build_interaction_graph(train_file, uv, iv, cv)
+        kwargs["graph"] = (
+            build_interaction_graph_packed(pack, len(uv), len(iv))
+            if use_packed else
+            build_interaction_graph(train_file, uv, iv, cv))
     model = get_model_class(cfg.model_type)(**kwargs)
 
     sample = next(loaders["train"].train_batches(

@@ -463,12 +463,17 @@ def data_preprocessing(reviews_file: str, train_file: str, valid_file: str,
                        is_history_expanding: bool = True,
                        seed: Optional[int] = None,
                        processes: int = 1,
-                       engine: str = "python") -> None:
+                       engine: str = "python",
+                       output_format: str = "tsv") -> None:
     """Full pipeline, mirroring sequential_reviews.py:27-74.
 
     `processes` > 1 parallelizes the expanding-history line generation;
     `engine='native'` runs it in C++ for numeric-id datasets (see
-    generate_expanding)."""
+    generate_expanding).  `output_format='packed'` skips the O(events^2)
+    TSV materialization entirely and writes the O(events) packed binary
+    (data/packed.py) next to `train_file` as `packed.npz` — same kept
+    lines and bit-identical vocabs for a given seed; negative sampling
+    is distribution-equivalent (different rng stream)."""
     rng = np.random.RandomState(seed)
     if dataset == "taobao":
         reviews, meta = taobao_main(reviews_file, rng)
@@ -490,6 +495,21 @@ def data_preprocessing(reviews_file: str, train_file: str, valid_file: str,
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
+
+    if output_format == "packed":
+        if not is_history_expanding:
+            raise ValueError(
+                "output_format='packed' requires expanding histories")
+        from clsr_tpu.data.packed import PACKED_FILENAME, build_packed
+        pack, (uv, iv, cv) = build_packed(
+            instances, splits, subsample, rng=rng,
+            valid_num_ngs=valid_num_ngs, test_num_ngs=test_num_ngs)
+        pack.save(os.path.join(os.path.dirname(train_file) or ".",
+                               PACKED_FILENAME))
+        uv.save(user_vocab)
+        iv.save(item_vocab)
+        cv.save(cate_vocab)
+        return
 
     if is_history_expanding:
         generate_expanding(instances, splits, train_file, valid_file,

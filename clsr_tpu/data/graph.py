@@ -40,20 +40,23 @@ class InteractionGraph:
     item2cate: np.ndarray  # [I] int32
 
 
-def build_interaction_graph(train_file: str, user_vocab: Vocab,
-                            item_vocab: Vocab, cate_vocab: Vocab
-                            ) -> InteractionGraph:
-    n_users, n_items = len(user_vocab), len(item_vocab)
+def build_graph_from_sequences(seqs, n_users: int, n_items: int
+                               ) -> InteractionGraph:
+    """Core builder over (uid, item_ids, cate_ids) full-history
+    sequences — the last element of each sequence is the target, the
+    rest the history (lgn.py:172-228 edge semantics).  Shared by the
+    TSV path (build_interaction_graph) and the packed-dataset path
+    (data/packed.py:build_interaction_graph_packed)."""
     ui_edges = set()
     ii_edges = set()
     item2cate = np.zeros(n_items, dtype=np.int32)
 
-    def process(uid, target_item, target_cate, hist_items, hist_cates):
-        ids = [item_vocab.lookup(i) for i in hist_items]
-        t_i = item_vocab.lookup(target_item)
-        item2cate[t_i] = cate_vocab.lookup(target_cate)
-        for i, c in zip(ids, hist_cates):
-            item2cate[i] = cate_vocab.lookup(c)
+    for uid, item_ids, cate_ids in seqs:
+        ids = list(item_ids[:-1])
+        t_i = int(item_ids[-1])
+        item2cate[t_i] = int(cate_ids[-1])
+        for i, c in zip(ids, cate_ids):
+            item2cate[i] = int(c)
         for i in ids:
             ui_edges.add((uid, i))
         for i, j in zip(ids[:-1], ids[1:]):
@@ -62,20 +65,6 @@ def build_interaction_graph(train_file: str, user_vocab: Vocab,
         if ids:
             ii_edges.add((ids[-1], t_i))
             ii_edges.add((t_i, ids[-1]))
-
-    # keep each user's LAST line (their longest expanding history)
-    last_per_user: Dict[int, Tuple] = {}
-    with open(train_file) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            cols = line.split("\t")
-            uid = user_vocab.lookup(cols[1])
-            last_per_user[uid] = (cols[2], cols[3],
-                                  cols[5].split(","), cols[6].split(","))
-    for uid, (ti, tc, hi, hc) in last_per_user.items():
-        process(uid, ti, tc, hi, hc)
 
     # joint graph over U+I nodes
     rows, cols = [], []
@@ -102,3 +91,28 @@ def build_interaction_graph(train_file: str, user_vocab: Vocab,
                             src=rows, dst=cols,
                             weight=weight.astype(np.float32),
                             item2cate=item2cate)
+
+
+def build_interaction_graph(train_file: str, user_vocab: Vocab,
+                            item_vocab: Vocab, cate_vocab: Vocab
+                            ) -> InteractionGraph:
+    # keep each user's LAST line (their longest expanding history)
+    last_per_user: Dict[int, Tuple] = {}
+    with open(train_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            cols = line.split("\t")
+            uid = user_vocab.lookup(cols[1])
+            last_per_user[uid] = (cols[2], cols[3],
+                                  cols[5].split(","), cols[6].split(","))
+
+    def seqs():
+        for uid, (ti, tc, hi, hc) in last_per_user.items():
+            item_ids = item_vocab.lookup_many(hi) + [item_vocab.lookup(ti)]
+            cate_ids = cate_vocab.lookup_many(hc) + [cate_vocab.lookup(tc)]
+            yield uid, item_ids, cate_ids
+
+    return build_graph_from_sequences(seqs(), len(user_vocab),
+                                      len(item_vocab))

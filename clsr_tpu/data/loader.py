@@ -91,11 +91,14 @@ class SequenceLoader:
     """Batch iterator factory over a ParsedDataset."""
 
     def __init__(self, ds: ParsedDataset, max_seq_length: int,
-                 min_batch_rows: int = 5):
+                 min_batch_rows: int = 5, view=None):
+        """`view` overrides the PaddedView built from `ds` — used by the
+        packed-dataset path (data/packed.py:make_loader), whose views
+        are constructed without a ParsedDataset intermediate."""
         self.ds = ds
         self.max_seq_length = max_seq_length
         self.min_batch_rows = min_batch_rows
-        self.view = PaddedView(ds, max_seq_length)
+        self.view = view if view is not None else PaddedView(ds, max_seq_length)
         self._stacked_bufs: list = [None, None]
         self._buf_flip = 0
 
