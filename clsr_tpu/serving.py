@@ -17,6 +17,15 @@ the TPU-native deployment shape (ROADMAP item 5):
     shape; scores for padding are dropped before returning.
   * Device batching across concurrent requests: many users score in one
     dispatch.
+  * Multi-chip serving: with cfg.data_parallel/model_parallel > 1 the
+    service places the restored state on a (data, model) mesh — rows
+    sharded over 'data', tables row-sharded over 'model' via the
+    collective embedding engine (parallel/mesh.py, parallel/embedding.py)
+    — so one service spans a slice instead of one chip.
+  * `AsyncScoringService` — a thread-safe micro-batching frontend:
+    callers submit() individual requests and get futures; a dispatcher
+    thread coalesces whatever has queued (bounded by a wait window and
+    a max batch) into shared device dispatches.
 
 Throughput: scripts/bench_serving.py (candidates/s on one chip).
 """
@@ -25,6 +34,9 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -77,7 +89,29 @@ class ScoringService:
             self.load(checkpoint)
         if int8_tables:
             self.quantize_tables()
-        self._eval_step = make_eval_step(self.model, cfg)
+
+        self._mesh = None
+        self._n_data = 1
+        if cfg.data_parallel * cfg.model_parallel > 1:
+            # span a slice: rows over 'data', tables over 'model'
+            from clsr_tpu.parallel.mesh import (make_mesh,
+                                                make_sharded_eval_step,
+                                                place_state, shard_batch)
+            self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
+            self._n_data = cfg.data_parallel
+            shard_emb = cfg.model_parallel > 1
+            base_state = self.state
+            self.state = place_state(base_state, self._mesh, shard_emb)
+            inner = make_sharded_eval_step(self.model, cfg, self._mesh,
+                                           base_state, shard_emb)
+            mesh = self._mesh
+
+            def sharded_step(state, batch):
+                return inner(state, shard_batch(batch, mesh))
+
+            self._eval_step = sharded_step
+        else:
+            self._eval_step = make_eval_step(self.model, cfg)
 
     # ------------------------------------------------------------- int8
     def quantize_tables(self) -> None:
@@ -181,6 +215,9 @@ class ScoringService:
             for lo in range(0, len(idxs), self.batch_buckets[-1]):
                 chunk = idxs[lo:lo + self.batch_buckets[-1]]
                 B = self._bucket(self.batch_buckets, len(chunk))
+                # mesh path: rows shard over 'data' — round up so the
+                # batch divides evenly across data shards
+                B = -(-B // self._n_data) * self._n_data
                 batch = self._empty_batch(B, G)
                 for row, i in enumerate(chunk):
                     self._fill_row(batch, row, requests[i], G)
@@ -189,3 +226,81 @@ class ScoringService:
                 for row, i in enumerate(chunk):
                     out[i] = preds[row, :len(requests[i].cand_items)].copy()
         return out   # type: ignore[return-value]
+
+
+class AsyncScoringService:
+    """Thread-safe micro-batching frontend over a ScoringService.
+
+    Callers `submit()` single requests from any thread and receive
+    futures; one dispatcher thread drains whatever has accumulated —
+    bounded by `max_batch` rows and a `max_wait_ms` coalescing window —
+    and runs it as shared bucketed device dispatches through
+    `ScoringService.score`.  Under load, concurrent callers' requests
+    ride the same device program instead of serializing one dispatch
+    per caller.
+    """
+
+    def __init__(self, service: ScoringService, max_wait_ms: float = 2.0,
+                 max_batch: Optional[int] = None):
+        self._svc = service
+        self._max_wait = max_wait_ms / 1e3
+        self._max_batch = max_batch or service.batch_buckets[-1]
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self.dispatches = 0          # observability: device-call count
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ----------------------------------------------------------- client
+    def submit(self, req: ScoreRequest) -> "Future[np.ndarray]":
+        if self._closed:
+            raise RuntimeError("service is closed")
+        fut: "Future[np.ndarray]" = Future()
+        self._q.put((req, fut))
+        return fut
+
+    def score(self, requests: List[ScoreRequest]) -> List[np.ndarray]:
+        """Blocking convenience wrapper over submit()."""
+        futs = [self.submit(r) for r in requests]
+        return [f.result() for f in futs]
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._thread.join()
+
+    # ------------------------------------------------------- dispatcher
+    def _drain(self, first) -> List[Tuple[ScoreRequest, Future]]:
+        import time
+        items = [first]
+        deadline = time.monotonic() + self._max_wait
+        while len(items) < self._max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)    # keep the shutdown signal
+                break
+            items.append(nxt)
+        return items
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            items = self._drain(item)
+            reqs = [r for r, _ in items]
+            try:
+                scores = self._svc.score(reqs)
+            except Exception as e:        # noqa: BLE001 — fail the batch
+                for _, fut in items:
+                    fut.set_exception(e)
+                continue
+            self.dispatches += 1
+            for (_, fut), s in zip(items, scores):
+                fut.set_result(s)

@@ -100,6 +100,85 @@ def test_service_bucket_routing_and_batching(trained):
     np.testing.assert_allclose(again, scores[0], rtol=1e-6)
 
 
+def test_multichip_service_matches_single(trained):
+    """Mesh-served scores (4x2: rows over 'data', tables over 'model'
+    via the collective embedding engine) == single-device scores."""
+    cfg, (uv, iv, cv), ckpt, _ = trained
+    kw = dict(batch_buckets=(4,), cand_buckets=(8,), checkpoint=ckpt)
+    single = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv,
+                            **kw)
+    mesh_cfg = cfg.replace(data_parallel=4, model_parallel=2)
+    sharded = ScoringService(mesh_cfg, len(uv), len(iv), len(cv),
+                             uv, iv, cv, **kw)
+    assert sharded._mesh is not None
+    reqs = [_req("u3", [1, 5, 9, 2], [7, 11, 3]),
+            _req("u7", [4, 4, 8], [2, 6, 10, 14, 18]),
+            _req("u9", [4, 8, 8, 2, 6], [2, 6, 10, 14])]
+    a = single.score(reqs)
+    b = sharded.score(reqs)
+    for sa, sb in zip(a, b):
+        np.testing.assert_allclose(sb, sa, rtol=2e-5, atol=2e-6)
+
+
+def test_async_frontend_coalesces_and_matches(trained):
+    """Concurrent submit()s produce the same scores as a direct call and
+    coalesce into fewer device dispatches than requests."""
+    import threading
+
+    from clsr_tpu.serving import AsyncScoringService
+
+    cfg, (uv, iv, cv), ckpt, _ = trained
+    svc = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv,
+                         checkpoint=ckpt, batch_buckets=(8,),
+                         cand_buckets=(8,))
+    rng = np.random.RandomState(1)
+    reqs = [_req(f"u{1 + i}", list(rng.randint(1, 80, 5)),
+                 list(rng.randint(1, 80, 4))) for i in range(12)]
+    direct = svc.score(reqs)
+
+    front = AsyncScoringService(svc, max_wait_ms=200.0)
+    try:
+        futs = [None] * len(reqs)
+
+        def submit(i):
+            futs[i] = front.submit(reqs[i])
+
+        threads = [threading.Thread(target=submit, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        got = [f.result(timeout=60) for f in futs]
+    finally:
+        front.close()
+
+    for d, g in zip(direct, got):
+        np.testing.assert_allclose(g, d, rtol=1e-6)
+    # 12 requests coalesced into far fewer frontend dispatches
+    assert front.dispatches <= 3
+
+    # closed frontend rejects new work
+    with pytest.raises(RuntimeError):
+        front.submit(reqs[0])
+
+
+def test_async_frontend_propagates_errors(trained):
+    from clsr_tpu.serving import AsyncScoringService
+
+    cfg, (uv, iv, cv), ckpt, _ = trained
+    svc = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv,
+                         checkpoint=ckpt, batch_buckets=(4,),
+                         cand_buckets=(4,))
+    front = AsyncScoringService(svc, max_wait_ms=1.0)
+    try:
+        bad = _req("u1", [1, 2], list(range(1, 20)))  # 19 > max bucket 4
+        with pytest.raises(ValueError):
+            front.submit(bad).result(timeout=60)
+    finally:
+        front.close()
+
+
 def test_int8_tables_score_close_to_f32(trained):
     """int8 row-quantized serving tables: params stored int8 + scales,
     scores within quantization tolerance of the f32 service."""
