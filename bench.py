@@ -17,11 +17,16 @@ Measured config — the framework's recommended production settings:
     (data/resident.py:make_resident_multi_step), amortizing per-call
     dispatch overhead (~0.1-0.7ms through the dev-chip relay).
 
-Protocol (variance-tightened per VERDICT round 1): 6 warmup calls, 30
-timed calls, report the MEDIAN; each call sees a fresh rng + donated
-state + a different epoch offset, so the relay cannot cache; per-call
-losses must evolve and stay finite (asserted).  Loss download happens
-after timing (device->host reads cost ~140ms through the relay).
+Protocol (HONEST, round 2): the dev-chip relay enqueues asynchronously
+until the first device->host read, so naive block_until_ready timings
+measure an ENQUEUE rate (this produced the round-1 7-10M figures; see
+clsr_tpu/utils/device.py for the full pathology).  This bench forces
+synchronous dispatch (utils/device.force_sync_dispatch) after warmup,
+runs 128 optimizer steps per dispatch to amortize the ~25ms sync-mode
+relay round-trip to <3%, and reports the median of timed calls; each
+call sees a fresh rng + donated state + a different epoch offset, so
+the relay cannot cache; per-call losses must evolve and stay finite
+(asserted).  Loss download happens after timing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -50,9 +55,9 @@ N_CATES = 5_000
 N_USERS = 8_000
 BATCH = 512
 SEQ = 50
-STEPS_PER_CALL = 16
-WARMUP_CALLS = 6
-CALLS = 30
+STEPS_PER_CALL = 128
+WARMUP_CALLS = 3
+CALLS = 12
 
 
 def main():
@@ -118,11 +123,18 @@ def main():
 
     slots = epoch_calls()
 
-    for _ in range(WARMUP_CALLS):
+    from clsr_tpu.utils.device import force_sync_dispatch
+
+    for w in range(WARMUP_CALLS):
         perm_dev, n, off = next(slots)
         rng, sub = jax.random.split(rng)
         state, losses = multi(state, res, perm_dev, n, off, sub)
         jax.block_until_ready(losses.loss)
+        if w == 0:
+            # after compile+first call: flip the relay into synchronous
+            # dispatch so the timed block_until_ready calls below measure
+            # execution, not enqueue
+            force_sync_dispatch()
 
     times = []
     loss_trace = []
