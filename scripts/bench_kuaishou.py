@@ -75,10 +75,14 @@ def main():
     state = create_train_state(model, cfg, sample)
     rng = jax.random.PRNGKey(0)
 
-    for _ in range(WARMUP_CALLS):
+    from clsr_tpu.utils.device import force_sync_dispatch
+
+    for w in range(WARMUP_CALLS):
         rng, sub = jax.random.split(rng)
         state, losses = bench_call(state, sub)
         jax.block_until_ready(losses)
+        if w == 0:
+            force_sync_dispatch()  # honest timings (utils/device.py)
 
     times, trace = [], []
     for _ in range(CALLS):
