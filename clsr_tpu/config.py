@@ -249,6 +249,12 @@ class Config:
     resident_max_bytes: int = 6_000_000_000
     drop_remainder_min: int = 5     # reference drops train batches <5 rows
                                     # (sequential_iterator.py:338-339)
+    compact_rows: str = "auto"      # 'auto' | 'off' — compact row engine
+                                    # (training/compact_rows.py): one
+                                    # sorted gather + sorted-unique row
+                                    # writes per table per step; lazyadam
+                                    # single-device only, falls back
+                                    # automatically elsewhere
 
     # ------------------------------------------------------------------ api
     def replace(self, **kwargs) -> "Config":
@@ -303,6 +309,9 @@ class Config:
             # (mixed dtypes) and keep no f32 update path for bf16 params
             raise ValueError(
                 "embedding_dtype=bfloat16 requires optimizer=lazyadam")
+        if self.compact_rows not in ("auto", "off"):
+            raise ValueError(
+                f"compact_rows must be auto/off, got {self.compact_rows}")
         if self.resident_data not in ("auto", "on", "off"):
             raise ValueError(
                 f"resident_data must be auto/on/off, got {self.resident_data}")

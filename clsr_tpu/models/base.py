@@ -163,23 +163,38 @@ class SequentialModelBase(nn.Module):
         cate_table = self.param(
             "cate_embedding", e_init, (self.n_cates, cfg.cate_embedding_dim))
 
-        item_hist_emb = lookup_rows(self, cfg, item_table,
-                                    batch.item_hist, "item_embedding")
-        cate_hist_emb = lookup_rows(self, cfg, cate_table,
-                                    batch.cate_hist, "cate_embedding")
-        target_emb = jnp.concatenate(
-            [lookup_rows(self, cfg, item_table, batch.items,
-                         "item_embedding"),
-             lookup_rows(self, cfg, cate_table, batch.cates,
-                         "cate_embedding")], axis=-1)
+        from clsr_tpu.training.compact_rows import active_compact
+        cc = active_compact() or {}
+        cr_item = cc.get("item_embedding")
+        cr_cate = cc.get("cate_embedding")
 
-        # lazy L2 bookkeeping BEFORE dropout, on raw table rows
-        involved_items = jnp.concatenate(
-            [batch.item_hist.reshape(-1), batch.items.reshape(-1)])
-        involved_cates = jnp.concatenate(
-            [batch.cate_hist.reshape(-1), batch.cates.reshape(-1)])
-        embed_sumsq = (unique_rows_sumsq(item_table, involved_items)
-                       + unique_rows_sumsq(cate_table, involved_cates))
+        if cr_item is not None and cr_cate is not None:
+            # compact row engine (training/compact_rows.py): lookups hit
+            # the VMEM-sized gathered rows; L2 reuses them (no re-gather)
+            item_hist_emb = lookup_cast(cfg, cr_item.site("hist"))
+            cate_hist_emb = lookup_cast(cfg, cr_cate.site("hist"))
+            target_emb = jnp.concatenate(
+                [lookup_cast(cfg, cr_item.site("targets")),
+                 lookup_cast(cfg, cr_cate.site("targets"))], axis=-1)
+            embed_sumsq = (cr_item.sumsq_unique() + cr_cate.sumsq_unique())
+        else:
+            item_hist_emb = lookup_rows(self, cfg, item_table,
+                                        batch.item_hist, "item_embedding")
+            cate_hist_emb = lookup_rows(self, cfg, cate_table,
+                                        batch.cate_hist, "cate_embedding")
+            target_emb = jnp.concatenate(
+                [lookup_rows(self, cfg, item_table, batch.items,
+                             "item_embedding"),
+                 lookup_rows(self, cfg, cate_table, batch.cates,
+                             "cate_embedding")], axis=-1)
+
+            # lazy L2 bookkeeping BEFORE dropout, on raw table rows
+            involved_items = jnp.concatenate(
+                [batch.item_hist.reshape(-1), batch.items.reshape(-1)])
+            involved_cates = jnp.concatenate(
+                [batch.cate_hist.reshape(-1), batch.cates.reshape(-1)])
+            embed_sumsq = (unique_rows_sumsq(item_table, involved_items)
+                           + unique_rows_sumsq(cate_table, involved_cates))
 
         item_hist_emb = self._dropout(item_hist_emb, train)
         cate_hist_emb = self._dropout(cate_hist_emb, train)

@@ -65,16 +65,37 @@ class CLSRModel(SequentialModelBase):
             "user_short_embedding", e_init,
             (self.n_users, cfg.user_embedding_dim))
 
-        user_long = self._dropout(
-            lookup_rows(self, cfg, user_long_table, batch.users,
-                        "user_long_embedding"), train)
-        user_short = self._dropout(
-            lookup_rows(self, cfg, user_short_table, batch.users,
-                        "user_short_embedding"), train)
+        from clsr_tpu.models.base import lookup_cast
+        from clsr_tpu.training.compact_rows import active_compact
+        cc = active_compact() or {}
+        cr_l = cc.get("user_long_embedding")
+        cr_s = cc.get("user_short_embedding")
+        if cr_l is not None and cr_s is not None:
+            # compact row engine: both tables share one plan (same user
+            # ids) so the L2/discrepancy stats come straight from the
+            # already-gathered rows (clsr.py:73-82,118-127 semantics)
+            user_long = self._dropout(
+                lookup_cast(cfg, cr_l.site("rows")), train)
+            user_short = self._dropout(
+                lookup_cast(cfg, cr_s.site("rows")), train)
+            wl = cr_l.w.astype(jnp.float32)
+            wsr = cr_s.w.astype(jnp.float32)
+            ff = cr_l.plan.first.astype(jnp.float32)[:, None]
+            sumsq_l = jnp.sum(wl * wl * ff)
+            sumsq_s = jnp.sum(wsr * wsr * ff)
+            sumsq_diff = jnp.sum((wl - wsr) ** 2 * ff)
+            n_elems = jnp.sum(ff) * wl.shape[1]
+        else:
+            user_long = self._dropout(
+                lookup_rows(self, cfg, user_long_table, batch.users,
+                            "user_long_embedding"), train)
+            user_short = self._dropout(
+                lookup_rows(self, cfg, user_short_table, batch.users,
+                            "user_short_embedding"), train)
 
-        # involved-user L2 + discrepancy bookkeeping (clsr.py:73-82,118-127)
-        sumsq_l, sumsq_s, sumsq_diff, n_elems = unique_rows_stats(
-            user_long_table, user_short_table, batch.users)
+            # involved-user L2 + discrepancy (clsr.py:73-82,118-127)
+            sumsq_l, sumsq_s, sumsq_diff, n_elems = unique_rows_stats(
+                user_long_table, user_short_table, batch.users)
 
         hist = ctx.hist_input                       # [B, L, 40]
         mask = batch.mask

@@ -172,6 +172,73 @@ def make_lazy_optimizer(cfg: Config):
             check_vma=False,
         )(param, grad_dense, mu, nu, ids.reshape(-1), t)
 
+    def compact_table_update(param, w, gw, mu, nu, plan, t):
+        """Row update from COMPACT w-space gradients (compact_rows.py).
+
+        Same math as table_update: duplicate-occurrence grads are summed
+        (segment_sum over sorted runs instead of XLA's dense scatter-add),
+        clip uses the norm over unique rows, and the writes are
+        sorted+unique scatter-sets.  Old param rows come from w (already
+        gathered) — no param re-gather.
+        """
+        N = param.shape[0]
+        M = plan.sorted_ids.shape[0]
+        g = jax.ops.segment_sum(gw.astype(jnp.float32), plan.seg,
+                                num_segments=M, indices_are_sorted=True)
+        nseg = plan.seg[-1] + 1
+        valid = jnp.arange(M, dtype=jnp.int32) < nseg
+        if max_norm > 0.0:
+            norm = jnp.sqrt(jnp.sum(g * g))   # rows >= nseg are zero
+            g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
+        uid = jax.ops.segment_max(plan.sorted_ids, plan.seg,
+                                  num_segments=M, indices_are_sorted=True)
+        safe = jnp.where(valid, uid, 0)
+        vf = valid[:, None].astype(jnp.float32)
+        m_new = b1 * mu[safe] * vf + (1.0 - b1) * g
+        v_new = b2 * nu[safe] * vf + (1.0 - b2) * g * g
+        m_hat = m_new / (1.0 - b1 ** t)
+        v_hat = v_new / (1.0 - b2 ** t)
+        step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        p_old = w[jnp.minimum(plan.idx_first, M - 1)].astype(jnp.float32)
+        new_rows = (p_old - step).astype(param.dtype)
+        # strictly increasing targets: unique ids on the valid prefix,
+        # out-of-range (dropped) tail
+        tgt = jnp.where(valid, uid, N + jnp.arange(M, dtype=jnp.int32))
+        kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+        return (param.at[tgt].set(new_rows, **kw),
+                mu.at[tgt].set(m_new, **kw), nu.at[tgt].set(v_new, **kw))
+
+    def compact_update_fn(params, dense_grads, gws, state: LazyAdamState,
+                          plans, ws, table_names):
+        """Apply compact table updates + the flattened dense Adam.
+
+        dense_grads: flat {path: grad} for non-table params;
+        gws: {table_name: dL/dw [M, D]}; plans/ws per compact_rows.py.
+        """
+        p_tables, p_dense = _split(params)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+
+        new_tables, new_mu, new_nu = {}, {}, {}
+        for path, param in p_tables.items():
+            name = table_names[path]
+            p_new, m_new, v_new = compact_table_update(
+                param, ws[name], gws[name], state.mu[path],
+                state.nu[path], plans[name], t)
+            new_tables[path] = p_new
+            new_mu[path] = m_new
+            new_nu[path] = v_new
+
+        updates, new_dense_opt = dense_tx.update(
+            dense_grads, state.dense_opt, p_dense)
+        new_dense = optax.apply_updates(p_dense, updates)
+
+        merged = dict(new_dense)
+        merged.update(new_tables)
+        new_params = flax.traverse_util.unflatten_dict(merged)
+        return new_params, LazyAdamState(
+            mu=new_mu, nu=new_nu, count=count, dense_opt=new_dense_opt)
+
     def update_fn(params, grads, state: LazyAdamState, table_ids):
         from clsr_tpu.parallel.embedding import active_mesh
 
@@ -211,4 +278,5 @@ def make_lazy_optimizer(cfg: Config):
         return new_params, LazyAdamState(
             mu=new_mu, nu=new_nu, count=count, dense_opt=new_dense_opt)
 
+    update_fn.compact = compact_update_fn
     return init_fn, update_fn

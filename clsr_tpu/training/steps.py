@@ -36,6 +36,49 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
     per_position = (cfg.model_type == "nextitnet"
                     and cfg.nextitnet_per_position)
 
+    use_compact = (cfg.optimizer == "lazyadam" and not per_position
+                   and getattr(cfg, "compact_rows", "auto") != "off")
+
+    def compact_step(state: TrainState, batch: Batch, rng_drop, table_names):
+        """Compact row engine path (training/compact_rows.py): one sorted
+        gather per table, backward in w-space, sorted+unique row writes."""
+        import flax.traverse_util as tu
+
+        from clsr_tpu.training.compact_rows import (build_plans, gather_ws,
+                                                    make_context,
+                                                    use_compact_rows)
+
+        flat = tu.flatten_dict(state.params)
+        tables = {p: v for p, v in flat.items() if p in table_names}
+        dense = {p: v for p, v in flat.items() if p not in table_names}
+        plans = build_plans(table_names, batch)
+        ws = gather_ws(tables, table_names, plans)
+
+        def loss_fn(dense_flat, ws_in):
+            merged = dict(dense_flat)
+            merged.update(tables)          # tables: non-differentiated
+            params = tu.unflatten_dict(merged)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            with use_compact_rows(make_context(plans, ws_in)):
+                (logits, aux), mutated = state.apply_fn(
+                    variables, batch, train=True,
+                    rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"])
+            parts = total_loss(cfg, logits, aux, batch, params)
+            stats = mutated.get("batch_stats", state.batch_stats)
+            if not stats:
+                stats = state.batch_stats
+            return parts.loss, (parts, stats)
+
+        (g_dense, gws), (parts, new_stats) = jax.grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(dense, ws)
+        new_params, new_opt = lazy_update.compact(
+            state.params, g_dense, gws, state.opt_state, plans, ws,
+            table_names)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt, batch_stats=new_stats)
+        return state, parts
+
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         rng_samp, rng_drop = jax.random.split(rng)
         if cfg.need_sample and num_ngs > 0:
@@ -45,6 +88,13 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
                 batch = expand_nextitnet(rng_samp, batch, num_ngs)
             else:
                 batch = expand_with_negatives(rng_samp, batch, num_ngs)
+
+        if use_compact:
+            from clsr_tpu.parallel.embedding import active_mesh
+            from clsr_tpu.training.compact_rows import supported_tables
+            table_names = supported_tables(state.params)
+            if table_names is not None and active_mesh() is None:
+                return compact_step(state, batch, rng_drop, table_names)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--embedding_dtype", default="float32")
     ap.add_argument("--scan_unroll", type=int, default=1)
+    ap.add_argument("--compact_rows", default="auto",
+                    help="auto|off — compact row engine (compact_rows.py)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +54,8 @@ def main():
                       train_steps_per_call=STEPS_PER_CALL,
                       compute_dtype=args.compute_dtype,
                       embedding_dtype=args.embedding_dtype,
-                      scan_unroll=args.scan_unroll)
+                      scan_unroll=args.scan_unroll,
+                      compact_rows=args.compact_rows)
     model = get_model_class("clsr")(
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
 
