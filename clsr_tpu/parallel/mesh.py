@@ -91,14 +91,16 @@ def state_sharding(state: TrainState, mesh: Mesh,
 
     param_specs = spec_for_params(state.params)
 
-    # opt_state: any leaf whose shape matches a (row-shardable) table gets
-    # the table's sharding; everything else replicated.
+    # opt_state: any leaf whose shape matches a (row-shardable) table —
+    # or its fused [N, 2D] Adam moment array (lazy_adam.LazyAdamState) —
+    # gets the table's row sharding; everything else replicated.
     table_shapes = set()
     for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
         names = [getattr(p, "key", str(p)) for p in path]
         if (shard_embeddings and str(names[-1]).endswith("_embedding")
                 and leaf.shape[0] % n_model == 0):
             table_shapes.add(leaf.shape)
+            table_shapes.add((leaf.shape[0], 2 * leaf.shape[1]))
 
     def opt_spec(leaf):
         if hasattr(leaf, "shape") and leaf.shape in table_shapes:

@@ -14,7 +14,9 @@ row-access-bound at production dims.
 
 The compact engine restructures the step so each table is touched by
 exactly ONE sorted HBM gather and ONE sorted+unique scatter-set (plus
-one gather + one set per Adam moment):
+one gather + one set for the fused [N, 2D] Adam moment array —
+lazy_adam.LazyAdamState stores mu|nu side by side because HBM row cost
+is set by row count, not payload width):
 
   1. all batch ids that can touch a table are concatenated and
      argsorted (cheap: 22us for 25.6k int32); the inverse permutation

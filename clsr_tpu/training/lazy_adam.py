@@ -59,8 +59,11 @@ def batch_table_ids(batch: Batch) -> Dict[str, jnp.ndarray]:
 
 
 class LazyAdamState(flax.struct.PyTreeNode):
-    mu: Any       # {path: rows like table} for table leaves
-    nu: Any
+    # {path: [N, 2D] f32} for each [N, D] table: mu = [:, :D], nu = [:, D:].
+    # Fused because HBM row-access cost is set by the table's ROW COUNT,
+    # not the row payload (docs/RESULTS_r2.md row-op cost model): one
+    # [N, 2D] gather + scatter costs ~half of separate mu/nu traffic.
+    moments: Any
     count: jnp.ndarray
     dense_opt: Any
 
@@ -94,15 +97,14 @@ def make_lazy_optimizer(cfg: Config):
         # (cfg.embedding_dtype='bfloat16'): f32 update math, bf16
         # round-to-nearest store
         return LazyAdamState(
-            mu={p: jnp.zeros(v.shape, jnp.float32)
-                for p, v in tables.items()},
-            nu={p: jnp.zeros(v.shape, jnp.float32)
-                for p, v in tables.items()},
+            moments={p: jnp.zeros((v.shape[0], 2 * v.shape[1]), jnp.float32)
+                     for p, v in tables.items()},
             count=jnp.zeros((), jnp.int32),
             dense_opt=dense_tx.init(dense),
         )
 
-    def table_update(param, grad_dense, mu, nu, ids, t):
+    def table_update(param, grad_dense, mn, ids, t):
+        D = param.shape[1]
         ids = jnp.sort(ids.reshape(-1))
         first = jnp.concatenate(
             [jnp.ones((1,), bool), ids[1:] != ids[:-1]])
@@ -111,16 +113,17 @@ def make_lazy_optimizer(cfg: Config):
             sumsq = jnp.sum(jnp.sum(g * g, -1) * first)
             norm = jnp.sqrt(sumsq)
             g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
-        m_new = b1 * mu[ids] + (1.0 - b1) * g
-        v_new = b2 * nu[ids] + (1.0 - b2) * g * g
+        mv = mn[ids]                      # one fused moment gather
+        m_new = b1 * mv[:, :D] + (1.0 - b1) * g
+        v_new = b2 * mv[:, D:] + (1.0 - b2) * g * g
         m_hat = m_new / (1.0 - b1 ** t)
         v_hat = v_new / (1.0 - b2 ** t)
         step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
         new_rows = (param[ids].astype(jnp.float32) - step).astype(param.dtype)
         return (param.at[ids].set(new_rows),
-                mu.at[ids].set(m_new), nu.at[ids].set(v_new))
+                mn.at[ids].set(jnp.concatenate([m_new, v_new], axis=-1)))
 
-    def table_update_sharded(mesh, param, grad_dense, mu, nu, ids, t):
+    def table_update_sharded(mesh, param, grad_dense, mn, ids, t):
         """Shard-local row update for a P('model', None) table.
 
         Touched ids are all-gathered over 'data' (4B/id); each model
@@ -131,7 +134,9 @@ def make_lazy_optimizer(cfg: Config):
         """
         from jax.sharding import PartitionSpec as P
 
-        def local(param_s, grad_s, mu_s, nu_s, ids_l, t):
+        D = param.shape[1]
+
+        def local(param_s, grad_s, mn_s, ids_l, t):
             ids_g = jax.lax.all_gather(ids_l, "data", tiled=True)
             ids_sorted = jnp.sort(ids_g)
             first = jnp.concatenate(
@@ -147,8 +152,9 @@ def make_lazy_optimizer(cfg: Config):
                     jnp.sum(jnp.sum(g * g, -1) * first), "model")
                 norm = jnp.sqrt(sumsq)
                 g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
-            m_new = b1 * mu_s[locc] + (1.0 - b1) * g
-            v_new = b2 * nu_s[locc] + (1.0 - b2) * g * g
+            mv = mn_s[locc]
+            m_new = b1 * mv[:, :D] + (1.0 - b1) * g
+            v_new = b2 * mv[:, D:] + (1.0 - b2) * g * g
             m_hat = m_new / (1.0 - b1 ** t)
             v_hat = v_new / (1.0 - b2 ** t)
             step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
@@ -157,8 +163,9 @@ def make_lazy_optimizer(cfg: Config):
             # rows not owned here scatter to index `rows` -> dropped
             tgt = jnp.where(ok, loc, rows)
             return (param_s.at[tgt].set(new_rows, mode="drop"),
-                    mu_s.at[tgt].set(m_new, mode="drop"),
-                    nu_s.at[tgt].set(v_new, mode="drop"))
+                    mn_s.at[tgt].set(
+                        jnp.concatenate([m_new, v_new], axis=-1),
+                        mode="drop"))
 
         # check_vma off: the checker cannot infer that the all_gather'd
         # id vector is data-invariant; this update is not differentiated
@@ -167,12 +174,12 @@ def make_lazy_optimizer(cfg: Config):
         return jax.shard_map(
             local, mesh=mesh,
             in_specs=(P("model", None), P("model", None), P("model", None),
-                      P("model", None), P("data"), P()),
-            out_specs=(P("model", None),) * 3,
+                      P("data"), P()),
+            out_specs=(P("model", None),) * 2,
             check_vma=False,
-        )(param, grad_dense, mu, nu, ids.reshape(-1), t)
+        )(param, grad_dense, mn, ids.reshape(-1), t)
 
-    def compact_table_update(param, w, gw, mu, nu, plan, t):
+    def compact_table_update(param, w, gw, mn, plan, t):
         """Row update from COMPACT w-space gradients (compact_rows.py).
 
         Same math as table_update: duplicate-occurrence grads are summed
@@ -181,7 +188,7 @@ def make_lazy_optimizer(cfg: Config):
         sorted+unique scatter-sets.  Old param rows come from w (already
         gathered) — no param re-gather.
         """
-        N = param.shape[0]
+        N, D = param.shape
         M = plan.sorted_ids.shape[0]
         g = jax.ops.segment_sum(gw.astype(jnp.float32), plan.seg,
                                 num_segments=M, indices_are_sorted=True)
@@ -194,8 +201,9 @@ def make_lazy_optimizer(cfg: Config):
                                   num_segments=M, indices_are_sorted=True)
         safe = jnp.where(valid, uid, 0)
         vf = valid[:, None].astype(jnp.float32)
-        m_new = b1 * mu[safe] * vf + (1.0 - b1) * g
-        v_new = b2 * nu[safe] * vf + (1.0 - b2) * g * g
+        mv = mn[safe] * vf                # one fused moment gather
+        m_new = b1 * mv[:, :D] + (1.0 - b1) * g
+        v_new = b2 * mv[:, D:] + (1.0 - b2) * g * g
         m_hat = m_new / (1.0 - b1 ** t)
         v_hat = v_new / (1.0 - b2 ** t)
         step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
@@ -206,7 +214,8 @@ def make_lazy_optimizer(cfg: Config):
         tgt = jnp.where(valid, uid, N + jnp.arange(M, dtype=jnp.int32))
         kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
         return (param.at[tgt].set(new_rows, **kw),
-                mu.at[tgt].set(m_new, **kw), nu.at[tgt].set(v_new, **kw))
+                mn.at[tgt].set(jnp.concatenate([m_new, v_new], axis=-1),
+                               **kw))
 
     def compact_update_fn(params, dense_grads, gws, state: LazyAdamState,
                           plans, ws, table_names):
@@ -219,15 +228,14 @@ def make_lazy_optimizer(cfg: Config):
         count = state.count + 1
         t = count.astype(jnp.float32)
 
-        new_tables, new_mu, new_nu = {}, {}, {}
+        new_tables, new_moments = {}, {}
         for path, param in p_tables.items():
             name = table_names[path]
-            p_new, m_new, v_new = compact_table_update(
-                param, ws[name], gws[name], state.mu[path],
-                state.nu[path], plans[name], t)
+            p_new, mn_new = compact_table_update(
+                param, ws[name], gws[name], state.moments[path],
+                plans[name], t)
             new_tables[path] = p_new
-            new_mu[path] = m_new
-            new_nu[path] = v_new
+            new_moments[path] = mn_new
 
         updates, new_dense_opt = dense_tx.update(
             dense_grads, state.dense_opt, p_dense)
@@ -237,7 +245,7 @@ def make_lazy_optimizer(cfg: Config):
         merged.update(new_tables)
         new_params = flax.traverse_util.unflatten_dict(merged)
         return new_params, LazyAdamState(
-            mu=new_mu, nu=new_nu, count=count, dense_opt=new_dense_opt)
+            moments=new_moments, count=count, dense_opt=new_dense_opt)
 
     def update_fn(params, grads, state: LazyAdamState, table_ids):
         from clsr_tpu.parallel.embedding import active_mesh
@@ -248,7 +256,7 @@ def make_lazy_optimizer(cfg: Config):
         t = count.astype(jnp.float32)
         mesh = active_mesh()
 
-        new_tables, new_mu, new_nu = {}, {}, {}
+        new_tables, new_moments = {}, {}
         for path, param in p_tables.items():
             name = str(path[-1])
             ids = table_ids.get(name)
@@ -257,16 +265,14 @@ def make_lazy_optimizer(cfg: Config):
                     f"lazyadam: no touched-row mapping for table {name}")
             if (mesh is not None
                     and param.shape[0] % mesh.shape["model"] == 0):
-                p_new, m_new, v_new = table_update_sharded(
-                    mesh, param, g_tables[path], state.mu[path],
-                    state.nu[path], ids, t)
-            else:
-                p_new, m_new, v_new = table_update(
-                    param, g_tables[path], state.mu[path], state.nu[path],
+                p_new, mn_new = table_update_sharded(
+                    mesh, param, g_tables[path], state.moments[path],
                     ids, t)
+            else:
+                p_new, mn_new = table_update(
+                    param, g_tables[path], state.moments[path], ids, t)
             new_tables[path] = p_new
-            new_mu[path] = m_new
-            new_nu[path] = v_new
+            new_moments[path] = mn_new
 
         updates, new_dense_opt = dense_tx.update(
             g_dense, state.dense_opt, p_dense)
@@ -276,7 +282,7 @@ def make_lazy_optimizer(cfg: Config):
         merged.update(new_tables)
         new_params = flax.traverse_util.unflatten_dict(merged)
         return new_params, LazyAdamState(
-            mu=new_mu, nu=new_nu, count=count, dense_opt=new_dense_opt)
+            moments=new_moments, count=count, dense_opt=new_dense_opt)
 
     update_fn.compact = compact_update_fn
     return init_fn, update_fn

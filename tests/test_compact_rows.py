@@ -108,12 +108,12 @@ def test_compact_matches_legacy_one_step(model):
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_b[path]), atol=2e-6,
             err_msg=str(path))
-    # optimizer moments match too
-    mu_a = results["auto"][0].opt_state.mu
-    mu_b = results["off"][0].opt_state.mu
-    for k in mu_a:
-        np.testing.assert_allclose(np.asarray(mu_a[k]),
-                                   np.asarray(mu_b[k]), atol=2e-6,
+    # optimizer moments (fused [N, 2D] mu|nu) match too
+    mn_a = results["auto"][0].opt_state.moments
+    mn_b = results["off"][0].opt_state.moments
+    for k in mn_a:
+        np.testing.assert_allclose(np.asarray(mn_a[k]),
+                                   np.asarray(mn_b[k]), atol=2e-6,
                                    err_msg=str(k))
 
 

@@ -98,7 +98,7 @@ def test_bf16_embedding_storage_trains():
     for name in ("item_embedding", "cate_embedding",
                  "user_long_embedding", "user_short_embedding"):
         assert state.params[name].dtype == np.dtype("bfloat16"), name
-        assert state.opt_state.mu[(name,)].dtype == np.float32
+        assert state.opt_state.moments[(name,)].dtype == np.float32
     before = np.asarray(state.params["item_embedding"], np.float32).copy()
     step = make_train_step(model, cfg, donate=False)
     losses = []
