@@ -47,6 +47,12 @@ class FusedCLSREncoder(nn.Module):
     use_pallas: bool = False   # hand-written TPU kernel (ops/pallas_scan.py)
     dtype: "Optional[jnp.dtype]" = None  # bf16 matmuls, f32 carry/gates
     unroll: int = 1                      # lax.scan unroll factor
+    # one block-diagonal MXU pass for all three cells' carry-gate matmuls
+    # (and one for the two GRU candidate matmuls) instead of six small
+    # [B, 40]x[40, .] matmuls per scan step.  The zero off-blocks
+    # contribute exact 0.0 terms, so the math is identical (x + 0.0 == x
+    # for finite x); only active when all three cells run.
+    fuse_cell_matmuls: bool = True
 
     @nn.compact
     def __call__(self, hist: jnp.ndarray, t_last: jnp.ndarray,
@@ -135,6 +141,13 @@ class FusedCLSREncoder(nn.Module):
         m0 = jnp.zeros((B, H), jnp.float32)
         h2_0 = jnp.zeros((B, H), jnp.float32)
 
+        if self.fuse_cell_matmuls and run_g1 and run_g2:
+            return self._scan_blockdiag(
+                (xg1, xc1, xw, tn_state, tl_state, o_time, xg2, xc2),
+                mask, (h1_0, c0, m0, h2_0),
+                (g1_Whg, g1_Whc, t4l_Wh, g2_Whg, g2_Whc),
+                (g1_bc, g2_bc), (U, H), dt)
+
         def step(carry, inp):
             h1, c, m, h2 = carry
             (xg1_t, xc1_t, xw_t, tn_t, tl_t, ot_t, xg2_t, xc2_t, m_t) = inp
@@ -175,6 +188,76 @@ class FusedCLSREncoder(nn.Module):
             step, (h1_0, c0, m0, h2_0),
             tuple(_to_time_major(x) for x in
                   (xg1, xc1, xw, tn_state, tl_state, o_time, xg2, xc2))
+            + (_to_time_major(mask),), unroll=self.unroll)
+
+        return h1_f, _to_batch_major(outs), h2_f
+
+    def _scan_blockdiag(self, projs, mask, carry0, Ws, cand_biases,
+                        dims, dt):
+        """The same scan with the carry matmuls fused block-diagonally.
+
+        Per step the three cells' gate matmuls (h1@Whg1 [U,2U], m@t4l_Wh
+        [H,4H], h2@Whg2 [H,2H]) become ONE [B, U+2H] x [U+2H, 2U+6H]
+        matmul against a block-diagonal weight, and the two GRU candidate
+        matmuls become one [B, U+H] x [U+H, U+H].  Zero off-blocks add
+        exact 0.0 terms, so outputs are identical to the unfused step
+        (differential-tested in tests/test_fused_clsr.py); the MXU runs
+        2 passes per step instead of 6 under-sized ones.
+        """
+        xg1, xc1, xw, tn_state, tl_state, o_time, xg2, xc2 = projs
+        g1_Whg, g1_Whc, t4l_Wh, g2_Whg, g2_Whc = Ws
+        g1_bc, g2_bc = cand_biases
+        U, H = dims
+        h1_0, c0, m0, h2_0 = carry0
+
+        GW = 2 * U + 6 * H
+        Wg = jnp.zeros((U + 2 * H, GW), g1_Whg.dtype)
+        Wg = Wg.at[:U, :2 * U].set(g1_Whg)
+        Wg = Wg.at[U:U + H, 2 * U:2 * U + 4 * H].set(t4l_Wh)
+        Wg = Wg.at[U + H:, 2 * U + 4 * H:].set(g2_Whg)
+        Wc = jnp.zeros((U + H, U + H), g1_Whc.dtype)
+        Wc = Wc.at[:U, :U].set(g1_Whc)
+        Wc = Wc.at[U:, U:].set(g2_Whc)
+
+        xgates = jnp.concatenate([xg1, xw, xg2], axis=-1)
+        xcands = jnp.concatenate([xc1, xc2], axis=-1)
+
+        def step(carry, inp):
+            h1, c, m, h2 = carry
+            xg_t, xc_t, tn_t, tl_t, ot_t, m_t = inp
+            mt = m_t[:, None]
+
+            Z = jnp.concatenate([h1, m, h2], axis=-1)
+            ga = _f32(xg_t + _cast(Z, dt) @ Wg, dt)
+            r1, u1 = jnp.split(jax.nn.sigmoid(ga[:, :2 * U]), 2, axis=-1)
+            i, j, f, o = jnp.split(ga[:, 2 * U:2 * U + 4 * H], 4, axis=-1)
+            r2, u2 = jnp.split(jax.nn.sigmoid(ga[:, 2 * U + 4 * H:]), 2,
+                               axis=-1)
+
+            o = o + _f32(ot_t, dt)
+            c_new = (jax.nn.sigmoid(f + 1.0) * jax.nn.sigmoid(_f32(tl_t, dt))
+                     * c
+                     + jax.nn.sigmoid(i) * jax.nn.sigmoid(_f32(tn_t, dt))
+                     * jnp.tanh(j))
+            m_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            c = mt * c_new + (1.0 - mt) * c
+            m = mt * m_new + (1.0 - mt) * m
+
+            Zc = jnp.concatenate([r1 * h1, r2 * h2], axis=-1)
+            ca = _f32(xc_t + _cast(Zc, dt) @ Wc, dt)
+            cand1 = jnp.tanh(ca[:, :U] + g1_bc)
+            h1n = u1 * h1 + (1.0 - u1) * cand1
+            h1 = mt * h1n + (1.0 - mt) * h1
+            cand2 = jnp.tanh(ca[:, U:] + g2_bc)
+            h2n = u2 * h2 + (1.0 - u2) * cand2
+            h2 = mt * h2n + (1.0 - mt) * h2
+
+            return (h1, c, m, h2), mt * m_new
+
+        (h1_f, _, _, h2_f), outs = jax.lax.scan(
+            step, (h1_0, c0, m0, h2_0),
+            tuple(_to_time_major(x) for x in
+                  (xgates, xcands, tn_state, tl_state, o_time))
             + (_to_time_major(mask),), unroll=self.unroll)
 
         return h1_f, _to_batch_major(outs), h2_f

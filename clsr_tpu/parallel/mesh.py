@@ -101,6 +101,7 @@ def state_sharding(state: TrainState, mesh: Mesh,
                 and leaf.shape[0] % n_model == 0):
             table_shapes.add(leaf.shape)
             table_shapes.add((leaf.shape[0], 2 * leaf.shape[1]))
+            table_shapes.add((leaf.shape[0], 3 * leaf.shape[1]))
 
     def opt_spec(leaf):
         if hasattr(leaf, "shape") and leaf.shape in table_shapes:

@@ -59,13 +59,45 @@ def batch_table_ids(batch: Batch) -> Dict[str, jnp.ndarray]:
 
 
 class LazyAdamState(flax.struct.PyTreeNode):
-    # {path: [N, 2D] f32} for each [N, D] table: mu = [:, :D], nu = [:, D:].
+    # Per-table optimizer rows, one fused f32 array per [N, D] table.
     # Fused because HBM row-access cost is set by the table's ROW COUNT,
-    # not the row payload (docs/RESULTS_r2.md row-op cost model): one
-    # [N, 2D] gather + scatter costs ~half of separate mu/nu traffic.
+    # not the row payload (docs/RESULTS_r2.md row-op cost model — XLA
+    # lane-pads [N, 40] rows to 128 lanes in HBM anyway, so wider rows
+    # are free until 128 lanes):
+    #   * split layout  [N, 2D]: mu = [:, :D], nu = [:, D:] — used on
+    #     mesh / per-position / unsupported-table configs;
+    #   * pmn layout    [N, 3D]: param|mu|nu — the compact row engine's
+    #     resident fused tables: the forward's one sorted gather brings
+    #     the Adam moments along at zero extra row cost and the whole
+    #     update writes ONE scatter-set; `state.params` tables are then
+    #     a synced VIEW refreshed at step/scan boundaries
+    #     (steps.sync_params_from_opt).
+    # Consumers detect the layout from the array width (2D vs 3D).
     moments: Any
     count: jnp.ndarray
     dense_opt: Any
+
+
+def is_pmn(param, mn) -> bool:
+    """True if `mn` uses the fused param|mu|nu layout for `param`."""
+    return mn.shape[1] == 3 * param.shape[1]
+
+
+def fused_tables_enabled(cfg, params) -> bool:
+    """pmn layout applies exactly when the compact row engine will run:
+    lazyadam, compact_rows != off, all tables site-mapped, no mesh."""
+    if cfg.optimizer != "lazyadam":
+        return False
+    if getattr(cfg, "compact_rows", "auto") == "off":
+        return False
+    if (getattr(cfg, "model_type", "") == "nextitnet"
+            and getattr(cfg, "nextitnet_per_position", False)):
+        return False
+    if (getattr(cfg, "data_parallel", 1)
+            * getattr(cfg, "model_parallel", 1)) > 1:
+        return False
+    from clsr_tpu.training.compact_rows import supported_tables
+    return supported_tables(params) is not None
 
 
 def _split(params):
@@ -95,16 +127,27 @@ def make_lazy_optimizer(cfg: Config):
         tables, dense = _split(params)
         # moments are ALWAYS f32, also for bf16-stored tables
         # (cfg.embedding_dtype='bfloat16'): f32 update math, bf16
-        # round-to-nearest store
+        # round-to-nearest store (pmn keeps the bf16-rounded value in
+        # its f32 param lane, so gathers recover the bf16 path exactly)
+        fused = fused_tables_enabled(cfg, params)
+
+        def init_rows(v):
+            if fused:
+                return jnp.concatenate(
+                    [v.astype(jnp.float32),
+                     jnp.zeros((v.shape[0], 2 * v.shape[1]), jnp.float32)],
+                    axis=-1)
+            return jnp.zeros((v.shape[0], 2 * v.shape[1]), jnp.float32)
+
         return LazyAdamState(
-            moments={p: jnp.zeros((v.shape[0], 2 * v.shape[1]), jnp.float32)
-                     for p, v in tables.items()},
+            moments={p: init_rows(v) for p, v in tables.items()},
             count=jnp.zeros((), jnp.int32),
             dense_opt=dense_tx.init(dense),
         )
 
     def table_update(param, grad_dense, mn, ids, t):
         D = param.shape[1]
+        off = D if is_pmn(param, mn) else 0
         ids = jnp.sort(ids.reshape(-1))
         first = jnp.concatenate(
             [jnp.ones((1,), bool), ids[1:] != ids[:-1]])
@@ -114,14 +157,20 @@ def make_lazy_optimizer(cfg: Config):
             norm = jnp.sqrt(sumsq)
             g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
         mv = mn[ids]                      # one fused moment gather
-        m_new = b1 * mv[:, :D] + (1.0 - b1) * g
-        v_new = b2 * mv[:, D:] + (1.0 - b2) * g * g
+        m_new = b1 * mv[:, off:off + D] + (1.0 - b1) * g
+        v_new = b2 * mv[:, off + D:] + (1.0 - b2) * g * g
         m_hat = m_new / (1.0 - b1 ** t)
         v_hat = v_new / (1.0 - b2 ** t)
         step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
-        new_rows = (param[ids].astype(jnp.float32) - step).astype(param.dtype)
+        if off:
+            p_old = mv[:, :D]             # pmn: param lane is the master
+        else:
+            p_old = param[ids].astype(jnp.float32)
+        new_rows = (p_old - step).astype(param.dtype)
+        parts = ([new_rows.astype(jnp.float32)] if off else []) \
+            + [m_new, v_new]
         return (param.at[ids].set(new_rows),
-                mn.at[ids].set(jnp.concatenate([m_new, v_new], axis=-1)))
+                mn.at[ids].set(jnp.concatenate(parts, axis=-1)))
 
     def table_update_sharded(mesh, param, grad_dense, mn, ids, t):
         """Shard-local row update for a P('model', None) table.
@@ -135,6 +184,7 @@ def make_lazy_optimizer(cfg: Config):
         from jax.sharding import PartitionSpec as P
 
         D = param.shape[1]
+        off = D if is_pmn(param, mn) else 0
 
         def local(param_s, grad_s, mn_s, ids_l, t):
             ids_g = jax.lax.all_gather(ids_l, "data", tiled=True)
@@ -153,18 +203,21 @@ def make_lazy_optimizer(cfg: Config):
                 norm = jnp.sqrt(sumsq)
                 g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
             mv = mn_s[locc]
-            m_new = b1 * mv[:, :D] + (1.0 - b1) * g
-            v_new = b2 * mv[:, D:] + (1.0 - b2) * g * g
+            m_new = b1 * mv[:, off:off + D] + (1.0 - b1) * g
+            v_new = b2 * mv[:, off + D:] + (1.0 - b2) * g * g
             m_hat = m_new / (1.0 - b1 ** t)
             v_hat = v_new / (1.0 - b2 ** t)
             step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
-            new_rows = (param_s[locc].astype(jnp.float32)
-                        - step).astype(param_s.dtype)
+            p_old = (mv[:, :D] * ok[:, None] if off
+                     else param_s[locc].astype(jnp.float32))
+            new_rows = (p_old - step).astype(param_s.dtype)
             # rows not owned here scatter to index `rows` -> dropped
             tgt = jnp.where(ok, loc, rows)
+            parts = ([new_rows.astype(jnp.float32)] if off else []) \
+                + [m_new, v_new]
             return (param_s.at[tgt].set(new_rows, mode="drop"),
                     mn_s.at[tgt].set(
-                        jnp.concatenate([m_new, v_new], axis=-1),
+                        jnp.concatenate(parts, axis=-1),
                         mode="drop"))
 
         # check_vma off: the checker cannot infer that the all_gather'd
@@ -185,10 +238,16 @@ def make_lazy_optimizer(cfg: Config):
         Same math as table_update: duplicate-occurrence grads are summed
         (segment_sum over sorted runs instead of XLA's dense scatter-add),
         clip uses the norm over unique rows, and the writes are
-        sorted+unique scatter-sets.  Old param rows come from w (already
-        gathered) — no param re-gather.
-        """
+        sorted+unique scatter-sets.
+
+        Split layout: `w` is the [M, D] forward gather; old param rows
+        come from it (no re-gather), moments cost one [N, 2D] gather.
+        pmn layout: `w` is the [M, 3D] param|mu|nu gather — moments ride
+        the forward gather, the HBM table is touched by ONE scatter-set,
+        and `param` is returned untouched (synced at the jit boundary,
+        steps.sync_params_from_opt)."""
         N, D = param.shape
+        fused = w.shape[1] == 3 * D
         M = plan.sorted_ids.shape[0]
         g = jax.ops.segment_sum(gw.astype(jnp.float32), plan.seg,
                                 num_segments=M, indices_are_sorted=True)
@@ -201,18 +260,28 @@ def make_lazy_optimizer(cfg: Config):
                                   num_segments=M, indices_are_sorted=True)
         safe = jnp.where(valid, uid, 0)
         vf = valid[:, None].astype(jnp.float32)
-        mv = mn[safe] * vf                # one fused moment gather
+        sel = jnp.minimum(plan.idx_first, M - 1)
+        if fused:
+            rows_first = w[sel]           # compact-array gather, no HBM
+            p_old = rows_first[:, :D]     # f32 master (bf16-rounded)
+            mv = rows_first[:, D:] * vf
+        else:
+            mv = mn[safe] * vf            # one [N, 2D] moment gather
+            p_old = w[sel].astype(jnp.float32)
         m_new = b1 * mv[:, :D] + (1.0 - b1) * g
         v_new = b2 * mv[:, D:] + (1.0 - b2) * g * g
         m_hat = m_new / (1.0 - b1 ** t)
         v_hat = v_new / (1.0 - b2 ** t)
         step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
-        p_old = w[jnp.minimum(plan.idx_first, M - 1)].astype(jnp.float32)
         new_rows = (p_old - step).astype(param.dtype)
         # strictly increasing targets: unique ids on the valid prefix,
         # out-of-range (dropped) tail
         tgt = jnp.where(valid, uid, N + jnp.arange(M, dtype=jnp.int32))
         kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+        if fused:
+            pmn_rows = jnp.concatenate(
+                [new_rows.astype(jnp.float32), m_new, v_new], axis=-1)
+            return param, mn.at[tgt].set(pmn_rows, **kw)
         return (param.at[tgt].set(new_rows, **kw),
                 mn.at[tgt].set(jnp.concatenate([m_new, v_new], axis=-1),
                                **kw))

@@ -41,18 +41,37 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
 
     def compact_step(state: TrainState, batch: Batch, rng_drop, table_names):
         """Compact row engine path (training/compact_rows.py): one sorted
-        gather per table, backward in w-space, sorted+unique row writes."""
+        gather per table, backward in w-space, sorted+unique row writes.
+
+        With the pmn fused-table layout (lazy_adam.LazyAdamState) the
+        gather reads the [N, 3D] param|mu|nu array instead: the Adam
+        moments ride along in the same HBM rows (XLA lane-pads [N, D]
+        rows to 128 lanes, so the wider read is free) and the update
+        needs no second gather — one scatter-set per table per step.
+        `state.params` tables are left stale inside the step and synced
+        at the jit boundary (sync_params_from_opt)."""
         import flax.traverse_util as tu
 
         from clsr_tpu.training.compact_rows import (build_plans, gather_ws,
                                                     make_context,
                                                     use_compact_rows)
+        from clsr_tpu.training.lazy_adam import is_pmn
 
         flat = tu.flatten_dict(state.params)
         tables = {p: v for p, v in flat.items() if p in table_names}
         dense = {p: v for p, v in flat.items() if p not in table_names}
         plans = build_plans(table_names, batch)
-        ws = gather_ws(tables, table_names, plans)
+        fused = all(is_pmn(v, state.opt_state.moments[p])
+                    for p, v in tables.items())
+        if fused:
+            src = {p: state.opt_state.moments[p] for p in tables}
+            ws_full = gather_ws(src, table_names, plans)
+            ws = {table_names[p]:
+                  ws_full[table_names[p]][:, :v.shape[1]].astype(v.dtype)
+                  for p, v in tables.items()}
+        else:
+            ws_full = None
+            ws = gather_ws(tables, table_names, plans)
 
         def loss_fn(dense_flat, ws_in):
             merged = dict(dense_flat)
@@ -73,8 +92,8 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
         (g_dense, gws), (parts, new_stats) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True)(dense, ws)
         new_params, new_opt = lazy_update.compact(
-            state.params, g_dense, gws, state.opt_state, plans, ws,
-            table_names)
+            state.params, g_dense, gws, state.opt_state, plans,
+            ws_full if fused else ws, table_names)
         state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt, batch_stats=new_stats)
         return state, parts
@@ -125,10 +144,42 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
     return step
 
 
+def sync_params_from_opt(state: TrainState) -> TrainState:
+    """Refresh `state.params` table leaves from pmn fused-table rows.
+
+    Under the fused layout the compact step updates only the [N, 3D]
+    param|mu|nu arrays (one scatter-set per table); the params-tree
+    tables are a lagging copy.  This slice-copy (a contiguous stream,
+    ~0.1-0.6ms even at 500k rows) restores them at jit-call boundaries
+    so eval / checkpoint / serving / tests always observe fresh
+    parameters.  No-op for every other optimizer/layout."""
+    from clsr_tpu.training.lazy_adam import LazyAdamState, is_pmn
+
+    if not isinstance(state.opt_state, LazyAdamState):
+        return state
+    import flax.traverse_util as tu
+
+    flat = dict(tu.flatten_dict(state.params))
+    changed = False
+    for p, mn in state.opt_state.moments.items():
+        v = flat[p]
+        if is_pmn(v, mn):
+            flat[p] = mn[:, :v.shape[1]].astype(v.dtype)
+            changed = True
+    if not changed:
+        return state
+    return state.replace(params=tu.unflatten_dict(flat))
+
+
 def make_train_step(model, cfg: Config, donate: bool = True) -> Callable:
-    """Jitted single-device train step."""
-    return jax.jit(make_train_step_fn(model, cfg),
-                   donate_argnums=(0,) if donate else ())
+    """Jitted single-device train step (params synced at the boundary)."""
+    raw = make_train_step_fn(model, cfg)
+
+    def step(state, batch, rng):
+        state, parts = raw(state, batch, rng)
+        return sync_params_from_opt(state), parts
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_multi_train_step(model, cfg: Config, steps_per_call: int,
@@ -152,7 +203,7 @@ def make_multi_train_step(model, cfg: Config, steps_per_call: int,
 
         idx = jnp.arange(steps_per_call)
         state, parts = jax.lax.scan(body, state, (idx, batches))
-        return state, parts
+        return sync_params_from_opt(state), parts
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 

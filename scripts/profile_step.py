@@ -155,6 +155,7 @@ def main():
                 batch = expand_with_negatives(rs, batch, num_ngs)
 
                 if use_compact:
+                    from clsr_tpu.training.lazy_adam import is_pmn
                     table_names = supported_tables(st.params)
                     flat = tu.flatten_dict(st.params)
                     tables = {p: v for p, v in flat.items()
@@ -162,7 +163,18 @@ def main():
                     dense = {p: v for p, v in flat.items()
                              if p not in table_names}
                     plans = build_plans(table_names, batch)
-                    ws = gather_ws(tables, table_names, plans)
+                    fused = all(is_pmn(v, st.opt_state.moments[p])
+                                for p, v in tables.items())
+                    if fused:   # pmn layout (steps.compact_step)
+                        src = {p: st.opt_state.moments[p] for p in tables}
+                        ws_full = gather_ws(src, table_names, plans)
+                        ws = {table_names[p]:
+                              ws_full[table_names[p]][:, :v.shape[1]]
+                              .astype(v.dtype)
+                              for p, v in tables.items()}
+                    else:
+                        ws_full = None
+                        ws = gather_ws(tables, table_names, plans)
 
                     def loss_fn(dense_flat, ws_in):
                         merged = dict(dense_flat)
@@ -186,8 +198,8 @@ def main():
                         return (st, acc + parts.loss
                                 + 0.0 * (probe(gd) + probe(gws))), 0
                     new_params, new_opt = lazy_update.compact(
-                        st.params, gd, gws, st.opt_state, plans, ws,
-                        table_names)
+                        st.params, gd, gws, st.opt_state, plans,
+                        ws_full if fused else ws, table_names)
                     st = st.replace(step=st.step + 1, params=new_params,
                                     opt_state=new_opt)
                     return (st, acc + parts.loss), 0

@@ -108,13 +108,19 @@ def test_compact_matches_legacy_one_step(model):
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_b[path]), atol=2e-6,
             err_msg=str(path))
-    # optimizer moments (fused [N, 2D] mu|nu) match too
+    # optimizer moments match too: auto runs the pmn [N, 3D] param|mu|nu
+    # layout, off the split [N, 2D] mu|nu layout — compare mu/nu lanes
+    # (and the pmn param lane against the updated params)
     mn_a = results["auto"][0].opt_state.moments
     mn_b = results["off"][0].opt_state.moments
     for k in mn_a:
-        np.testing.assert_allclose(np.asarray(mn_a[k]),
-                                   np.asarray(mn_b[k]), atol=2e-6,
-                                   err_msg=str(k))
+        a, b = np.asarray(mn_a[k]), np.asarray(mn_b[k])
+        D = b.shape[1] // 2
+        assert a.shape[1] == 3 * D, (k, a.shape)   # fused layout active
+        np.testing.assert_allclose(a[:, D:], b, atol=2e-6, err_msg=str(k))
+        np.testing.assert_allclose(
+            a[:, :D], np.asarray(flat_a[k], np.float32), atol=2e-6,
+            err_msg=str(k))
 
 
 def test_compact_loss_trajectory_tracks_legacy():

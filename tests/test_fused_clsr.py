@@ -99,6 +99,29 @@ def test_fused_gradients_match():
                                    atol=2e-4, err_msg=k)
 
 
+def test_blockdiag_matches_per_cell_matmuls():
+    """fuse_cell_matmuls=True (one block-diagonal MXU pass per step) is
+    numerically identical to the six per-cell matmuls: the off-diagonal
+    zero blocks contribute exact 0.0 addends."""
+    hist, t_last, t_now, mask, user_short = _inputs(3)
+    a = FusedCLSREncoder(U, H, fuse_cell_matmuls=True)
+    b = FusedCLSREncoder(U, H, fuse_cell_matmuls=False)
+    v = a.init(jax.random.PRNGKey(4), hist, t_last, t_now, mask, user_short)
+    outs_a = a.apply(v, hist, t_last, t_now, mask, user_short)
+    outs_b = b.apply(v, hist, t_last, t_now, mask, user_short)
+    for xa, xb in zip(outs_a, outs_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   atol=1e-7)
+
+    ga = jax.grad(lambda p: sum(jnp.sum(o ** 2) for o in a.apply(
+        {"params": p}, hist, t_last, t_now, mask, user_short)))(v["params"])
+    gb = jax.grad(lambda p: sum(jnp.sum(o ** 2) for o in b.apply(
+        {"params": p}, hist, t_last, t_now, mask, user_short)))(v["params"])
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   atol=1e-5, err_msg=k)
+
+
 def test_flags_disable_branches():
     hist, t_last, t_now, mask, user_short = _inputs(2)
     mod = FusedCLSREncoder(U, H, interest_evolve=False,
