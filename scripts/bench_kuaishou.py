@@ -22,9 +22,12 @@ import numpy as np
 N_ITEMS = 500_000
 N_CATES = 2_000
 N_USERS = 100_000
-BATCH = 256
+BATCH = 256   # --batch overrides
 SEQ = 250
-STEPS_PER_CALL = 8
+# the sync-mode relay adds ~25ms per CALL (utils/device.py); K=64
+# steps per dispatch amortizes it to <0.4ms/step (scan compile time is
+# ~independent of K)
+STEPS_PER_CALL = 64
 WARMUP_CALLS = 5
 CALLS = 12
 
@@ -32,11 +35,15 @@ CALLS = 12
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--embedding_dtype", default="float32")
     ap.add_argument("--scan_unroll", type=int, default=1)
     ap.add_argument("--compact_rows", default="auto",
                     help="auto|off — compact row engine (compact_rows.py)")
     args = ap.parse_args()
+    global BATCH
+    if args.batch:
+        BATCH = args.batch
 
     import jax
     jax.config.update("jax_compilation_cache_dir",

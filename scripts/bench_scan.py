@@ -47,16 +47,20 @@ def main():
     mask = jnp.ones((B, L), jnp.float32)
     user_short = jnp.asarray(rng.randn(B, U).astype(np.float32) * 0.1)
 
-    def bench(label, dtype, unroll, blockdiag, mode):
+    def bench(label, dtype, unroll, blockdiag, mode, remat=False):
         mod = FusedCLSREncoder(U, H, dtype=dtype, unroll=unroll,
                                fuse_cell_matmuls=blockdiag)
         variables = mod.init(jax.random.PRNGKey(0), hist, t_last, t_now,
                              mask, user_short)
 
         def one(params, h):
-            h1, outs, h2 = mod.apply({"params": params}, h, t_last, t_now,
-                                     mask, user_short)
-            return jnp.sum(h1) + jnp.sum(outs) + jnp.sum(h2)
+            def enc(params, h):
+                h1, outs, h2 = mod.apply({"params": params}, h, t_last,
+                                         t_now, mask, user_short)
+                return jnp.sum(h1) + jnp.sum(outs) + jnp.sum(h2)
+            if remat:
+                enc = jax.checkpoint(enc)
+            return enc(params, h)
 
         def prog(key, params):
             def body(acc, k):
@@ -91,16 +95,22 @@ def main():
     # each variant is a separate ~5-10min TPU compile through the relay —
     # select what you pay for
     variants = {
-        "f32": (None, 1, True), "bf16": (jnp.bfloat16, 1, True),
-        "f32u4": (None, 4, True), "bf16u4": (jnp.bfloat16, 4, True),
-        "f32percell": (None, 1, False),
-        "bf16percell": (jnp.bfloat16, 1, False),
+        "f32": (None, 1, True, False), "bf16": (jnp.bfloat16, 1, True,
+                                                False),
+        "f32u4": (None, 4, True, False),
+        "bf16u4": (jnp.bfloat16, 4, True, False),
+        "f32percell": (None, 1, False, False),
+        "bf16percell": (jnp.bfloat16, 1, False, False),
+        "f32remat": (None, 1, True, True),
+        "bf16remat": (jnp.bfloat16, 1, True, True),
     }
     sel = os.environ.get("SCAN_VARIANTS", "f32,bf16").split(",")
     for name in sel:
-        dtype, unroll, blockdiag = variants[name]
-        bench(f"fwd  {name}", dtype, unroll, blockdiag, "fwd")
-        bench(f"grad {name}", dtype, unroll, blockdiag, "grad")
+        dtype, unroll, blockdiag, remat = variants[name]
+        if "remat" not in name:
+            bench(f"fwd  {name}", dtype, unroll, blockdiag, "fwd")
+        bench(f"grad {name}", dtype, unroll, blockdiag, "grad",
+              remat=remat)
 
 
 if __name__ == "__main__":
