@@ -1,5 +1,8 @@
 """Compare the Pallas recurrence kernel vs the XLA lax.scan path on TPU.
 
+Honest protocol: forced-sync dispatch after warmup, inputs varied per
+call (utils/device.py relay-mirage gotchas), K-chained applications.
+
 Usage: python scripts/bench_pallas.py [--batch 512] [--seq 50]
 """
 
@@ -25,7 +28,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/clsr_tpu_xla"))
+
     from clsr_tpu.ops.fused_clsr import FusedCLSREncoder
+    from clsr_tpu.utils.device import force_sync_dispatch
 
     B, L, U, H, D = args.batch, args.seq, 40, 40, 40
     rng = np.random.RandomState(0)
@@ -48,7 +55,9 @@ def main():
         # closure-captured constants get re-shipped per call on the
         # tunneled dev chip (~25ms/call of pure overhead).
         @jax.jit
-        def many(v, h0, t_last, t_now, mask, ushort):
+        def many(v, key, h0, t_last, t_now, mask, ushort):
+            h0 = h0 * (1.0 + 1e-6 * jax.random.uniform(key, ()))
+
             def body(h, i):
                 h1, outs, h2 = mod.apply(v, h, t_last, t_now, mask, ushort)
                 # genuine (tiny) carry dependency so the loop body cannot
@@ -57,15 +66,16 @@ def main():
             _, accs = jax.lax.scan(body, h0, jnp.arange(args.reps))
             return accs.sum()
 
-        many_args = (variables, hist, t_last, t_now, mask, ushort)
-        out = many(*many_args)
-        jax.block_until_ready(out)
         times = []
-        for _ in range(args.calls):
+        for c in range(args.calls + 4):
+            key = jax.random.PRNGKey(c)   # vary inputs: relay caches
             t0 = time.perf_counter()
-            out = many(*many_args)
+            out = many(variables, key, hist, t_last, t_now, mask, ushort)
             jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
+            if c == 0:
+                force_sync_dispatch()  # honest timings (utils/device.py)
+            if c >= 4:
+                times.append(time.perf_counter() - t0)
         times.sort()
         med = times[len(times) // 2] / args.reps
         name = "pallas" if use_pallas else "lax.scan"
