@@ -237,7 +237,11 @@ class Config:
                                       # recurrences (identical math; cuts
                                       # per-iteration loop overhead for
                                       # long histories)
-    train_steps_per_call: int = 8     # K steps per dispatch (steps.py:make_multi_train_step)
+    # K steps per dispatch (steps.py:make_multi_train_step).  Amortizes
+    # per-dispatch overhead (~25ms/call under the dev relay's sync mode
+    # — utils/device.py); tail batches run single-step, so no examples
+    # are dropped at any K.
+    train_steps_per_call: int = 32
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)
     prefetch_batches: int = 2
