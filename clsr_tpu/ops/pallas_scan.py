@@ -21,11 +21,14 @@ kernel takes exactly five weight matrices.
 
 Status: correctness-validated (interpret-mode differential tests vs the
 reference scan, gradient tests through the VJP) and compiled-path
-benchmarked on v5e: at the CLSR dims (H=40, L=50..250) XLA's fused
-lax.scan already reaches ~100ns/step and the kernel is at parity (see
-scripts/bench_pallas.py), so the default path stays `use_pallas_scan:
-False`.  The kernel is the substrate for larger-hidden-dim configurations
-where while-loop overhead and carry HBM round-trips start to matter.
+benchmarked on v5e under the HONEST forced-sync protocol
+(scripts/bench_pallas.py, docs/RESULTS_r2.md): at the CLSR dims
+(B=512, H=40, L=50) the kernel is 10% SLOWER than XLA's fused lax.scan
+(1.64ms vs 1.48ms per encoder forward) — the earlier "parity" note was
+measured in the relay's enqueue-mirage mode.  The default path stays
+`use_pallas_scan: False`; the kernel remains as the substrate for
+larger-hidden-dim configurations where while-loop overhead and carry
+HBM round-trips would start to matter.
 """
 
 from __future__ import annotations
