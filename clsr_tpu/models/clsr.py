@@ -71,20 +71,15 @@ class CLSRModel(SequentialModelBase):
         cr_l = cc.get("user_long_embedding")
         cr_s = cc.get("user_short_embedding")
         if cr_l is not None and cr_s is not None:
-            # compact row engine: both tables share one plan (same user
-            # ids) so the L2/discrepancy stats come straight from the
-            # already-gathered rows (clsr.py:73-82,118-127 semantics)
+            # compact row engine (single-device or mesh): both tables
+            # share one plan (same user ids) so the L2/discrepancy
+            # stats come straight from the already-gathered rows
+            # (clsr.py:73-82,118-127 semantics)
             user_long = self._dropout(
                 lookup_cast(cfg, cr_l.site("rows")), train)
             user_short = self._dropout(
                 lookup_cast(cfg, cr_s.site("rows")), train)
-            wl = cr_l.w.astype(jnp.float32)
-            wsr = cr_s.w.astype(jnp.float32)
-            ff = cr_l.plan.first.astype(jnp.float32)[:, None]
-            sumsq_l = jnp.sum(wl * wl * ff)
-            sumsq_s = jnp.sum(wsr * wsr * ff)
-            sumsq_diff = jnp.sum((wl - wsr) ** 2 * ff)
-            n_elems = jnp.sum(ff) * wl.shape[1]
+            sumsq_l, sumsq_s, sumsq_diff, n_elems = cr_l.pair_stats(cr_s)
         else:
             user_long = self._dropout(
                 lookup_rows(self, cfg, user_long_table, batch.users,

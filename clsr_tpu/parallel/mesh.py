@@ -146,14 +146,18 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
     GSPMD's full-table all-gather formulation.
     """
     from clsr_tpu.parallel.embedding import use_sharded_tables
-    from clsr_tpu.training.steps import make_train_step_fn
+    from clsr_tpu.training.steps import (make_train_step_fn,
+                                         sync_params_from_opt)
     from clsr_tpu.training.losses import LossParts
 
     raw_inner = make_train_step_fn(model, cfg)
 
     def raw(state, batch, rng):
         with use_sharded_tables(mesh if shard_embeddings else None):
-            return raw_inner(state, batch, rng)
+            state, parts = raw_inner(state, batch, rng)
+        # pmn fused layout: params tables are a lagging view, refreshed
+        # at the jit boundary (shard-local slice of the [N, 3D] rows)
+        return sync_params_from_opt(state), parts
 
     st_shard = state_sharding(state, mesh, shard_embeddings)
     b_shard = batch_sharding(mesh)
@@ -180,7 +184,8 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
     import jax.numpy as jnp
 
     from clsr_tpu.parallel.embedding import use_sharded_tables
-    from clsr_tpu.training.steps import make_train_step_fn
+    from clsr_tpu.training.steps import (make_train_step_fn,
+                                         sync_params_from_opt)
 
     raw = make_train_step_fn(model, cfg)
 
@@ -191,7 +196,10 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
 
         idx = jnp.arange(steps_per_call)
         with use_sharded_tables(mesh if shard_embeddings else None):
-            return jax.lax.scan(body, st, (idx, batches))
+            st, parts = jax.lax.scan(body, st, (idx, batches))
+        # pmn fused layout: refresh the lagging params tables once per
+        # dispatch (see steps.sync_params_from_opt)
+        return sync_params_from_opt(st), parts
 
     st_shard = state_sharding(state, mesh, shard_embeddings)
     # stacked batches: [K, B, ...] with rows sharded over 'data'

@@ -98,6 +98,22 @@ class CompactRows:
         return jnp.sum(jnp.sum(w32 * w32, axis=-1)
                        * self.plan.first.astype(jnp.float32))
 
+    def pair_stats(self, other: "CompactRows"):
+        """(sumsq_self, sumsq_other, sum||a-b||^2, n_unique*D) over
+        unique rows — CLSR's involved-user L2 + discrepancy stats
+        (clsr.py:73-82,118-127).  Both tables share the plan (same id
+        source), so the stats come straight from the gathered rows.
+        Same API as mesh_compact.MeshCompactRows.pair_stats."""
+        wa = self.w.astype(jnp.float32)
+        wb = other.w.astype(jnp.float32)
+        ff = self.plan.first.astype(jnp.float32)[:, None]
+        sumsq_a = jnp.sum(wa * wa * ff)
+        sumsq_b = jnp.sum(wb * wb * ff)
+        diff = wa - wb
+        sumsq_diff = jnp.sum(diff * diff * ff)
+        n_elems = jnp.sum(ff) * wa.shape[1]
+        return sumsq_a, sumsq_b, sumsq_diff, n_elems
+
 
 def active_compact() -> Optional[Dict[str, CompactRows]]:
     return getattr(_state, "ctx", None)

@@ -85,16 +85,15 @@ def is_pmn(param, mn) -> bool:
 
 def fused_tables_enabled(cfg, params) -> bool:
     """pmn layout applies exactly when the compact row engine will run:
-    lazyadam, compact_rows != off, all tables site-mapped, no mesh."""
+    lazyadam, compact_rows != off, all tables site-mapped.  On a mesh
+    the compact path is the sharded formulation (mesh_compact.py): pmn
+    arrays are row-sharded P('model', None) like the tables."""
     if cfg.optimizer != "lazyadam":
         return False
     if getattr(cfg, "compact_rows", "auto") == "off":
         return False
     if (getattr(cfg, "model_type", "") == "nextitnet"
             and getattr(cfg, "nextitnet_per_position", False)):
-        return False
-    if (getattr(cfg, "data_parallel", 1)
-            * getattr(cfg, "model_parallel", 1)) > 1:
         return False
     from clsr_tpu.training.compact_rows import supported_tables
     return supported_tables(params) is not None
@@ -286,6 +285,98 @@ def make_lazy_optimizer(cfg: Config):
                 mn.at[tgt].set(jnp.concatenate([m_new, v_new], axis=-1),
                                **kw))
 
+    def compact_table_update_mesh(mesh, param, gw, mn, plan, t):
+        """Mesh-compact row update (training/mesh_compact.py, ROADMAP 8).
+
+        gw is the per-data-shard w-space gradient [d, Mi, D].  The merge
+        all-gathers (ids, grads) over 'data' and every device replays
+        the plan's saved gperm/gseg sort so the per-unique-row summed
+        gradient and the clip norm are computed over the EXACT global
+        unique-row set (the single-device semantics) — ownership only
+        gates the final pmn row writes, so the result is identical on
+        every shard up to which rows it persists.  pmn layout only: one
+        scatter-set per table per step; `param` stays a stale view
+        (steps.sync_params_from_opt)."""
+        from jax.sharding import PartitionSpec as P
+
+        N, D = param.shape
+        if not is_pmn(param, mn):
+            raise ValueError("mesh-compact requires the pmn fused layout")
+        dM = plan.gperm.shape[0]
+        shardable = (N % mesh.shape["model"] == 0)
+
+        def local(mn_s, gw_b, ids_b, gperm, gseg, t):
+            g_all = jax.lax.all_gather(gw_b[0], "data")     # [d, Mi, D]
+            ids_all = jax.lax.all_gather(ids_b[0], "data")  # [d, Mi]
+            gflat = g_all.reshape(-1, D).astype(jnp.float32)[gperm]
+            uids = ids_all.reshape(-1)[gperm]
+            g = jax.ops.segment_sum(gflat, gseg, num_segments=dM,
+                                    indices_are_sorted=True)
+            nseg = gseg[-1] + 1
+            valid = jnp.arange(dM, dtype=jnp.int32) < nseg
+            if max_norm > 0.0:
+                norm = jnp.sqrt(jnp.sum(g * g))   # rows >= nseg are zero
+                g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
+            uid = jax.ops.segment_max(uids, gseg, num_segments=dM,
+                                      indices_are_sorted=True)
+            safe_uid = jnp.where(valid, uid, 0)
+            rows = mn_s.shape[0]
+            lo = (jax.lax.axis_index("model") * rows) if shardable else 0
+            loc = safe_uid - lo
+            ok = valid & (loc >= 0) & (loc < rows)
+            locc = jnp.where(ok, loc, 0)
+            mv = mn_s[locc] * ok[:, None].astype(jnp.float32)
+            m_new = b1 * mv[:, D:2 * D] + (1.0 - b1) * g
+            v_new = b2 * mv[:, 2 * D:] + (1.0 - b2) * g * g
+            m_hat = m_new / (1.0 - b1 ** t)
+            v_hat = v_new / (1.0 - b2 ** t)
+            step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            new_rows = mv[:, :D] - step           # f32 pmn master lane
+            tgt = jnp.where(ok, loc, rows)        # not owned -> dropped
+            pmn_rows = jnp.concatenate([new_rows, m_new, v_new], axis=-1)
+            return mn_s.at[tgt].set(pmn_rows, mode="drop")
+
+        mn_spec = P("model", None) if shardable else P()
+        # check_vma off as in table_update_sharded: the merge inputs are
+        # data-invariant after the all_gathers, which the checker cannot
+        # infer; this update is not differentiated through
+        new_mn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(mn_spec, P("data", None, None), P("data", None),
+                      P(), P(), P()),
+            out_specs=mn_spec,
+            check_vma=False,
+        )(mn, gw, plan.sorted_ids, plan.gperm, plan.gseg, t)
+        return param, new_mn
+
+    def compact_mesh_update_fn(mesh, params, dense_grads, gws,
+                               state: LazyAdamState, plans, table_names):
+        """Mesh twin of compact_update_fn: per-table mesh-compact row
+        updates + the flattened dense Adam (dense grads arrive already
+        psum'd over 'data' by GSPMD)."""
+        p_tables, p_dense = _split(params)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+
+        new_tables, new_moments = {}, {}
+        for path, param in p_tables.items():
+            name = table_names[path]
+            p_new, mn_new = compact_table_update_mesh(
+                mesh, param, gws[name], state.moments[path],
+                plans[name], t)
+            new_tables[path] = p_new
+            new_moments[path] = mn_new
+
+        updates, new_dense_opt = dense_tx.update(
+            dense_grads, state.dense_opt, p_dense)
+        new_dense = optax.apply_updates(p_dense, updates)
+
+        merged = dict(new_dense)
+        merged.update(new_tables)
+        new_params = flax.traverse_util.unflatten_dict(merged)
+        return new_params, LazyAdamState(
+            moments=new_moments, count=count, dense_opt=new_dense_opt)
+
     def compact_update_fn(params, dense_grads, gws, state: LazyAdamState,
                           plans, ws, table_names):
         """Apply compact table updates + the flattened dense Adam.
@@ -354,4 +445,5 @@ def make_lazy_optimizer(cfg: Config):
             moments=new_moments, count=count, dense_opt=new_dense_opt)
 
     update_fn.compact = compact_update_fn
+    update_fn.compact_mesh = compact_mesh_update_fn
     return init_fn, update_fn

@@ -98,6 +98,54 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
                               opt_state=new_opt, batch_stats=new_stats)
         return state, parts
 
+    def mesh_compact_step(state: TrainState, batch: Batch, rng_drop,
+                          table_names, mesh):
+        """Mesh-compact path (training/mesh_compact.py, ROADMAP 8):
+        per-data-shard plans, one collective row gather per table,
+        w-space backward sharded over 'data', globally-merged row
+        updates on the owning model shards.  pmn layout only."""
+        import flax.traverse_util as tu
+
+        from clsr_tpu.training.compact_rows import use_compact_rows
+        from clsr_tpu.training.mesh_compact import (build_mesh_plans,
+                                                    gather_mesh_ws,
+                                                    make_mesh_context)
+
+        flat = tu.flatten_dict(state.params)
+        tables = {p: v for p, v in flat.items() if p in table_names}
+        dense = {p: v for p, v in flat.items() if p not in table_names}
+        plans = build_mesh_plans(mesh, table_names, batch)
+        src = {p: state.opt_state.moments[p] for p in tables}
+        ws_full = gather_mesh_ws(src, table_names, plans)  # [d, Mi, 3D]
+        ws = {table_names[p]:
+              ws_full[table_names[p]][:, :, :v.shape[1]].astype(v.dtype)
+              for p, v in tables.items()}
+
+        def loss_fn(dense_flat, ws_in):
+            merged = dict(dense_flat)
+            merged.update(tables)          # tables: non-differentiated
+            params = tu.unflatten_dict(merged)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            with use_compact_rows(make_mesh_context(plans, ws_in)):
+                (logits, aux), mutated = state.apply_fn(
+                    variables, batch, train=True,
+                    rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"])
+            parts = total_loss(cfg, logits, aux, batch, params)
+            stats = mutated.get("batch_stats", state.batch_stats)
+            if not stats:
+                stats = state.batch_stats
+            return parts.loss, (parts, stats)
+
+        (g_dense, gws), (parts, new_stats) = jax.grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(dense, ws)
+        new_params, new_opt = lazy_update.compact_mesh(
+            mesh, state.params, g_dense, gws, state.opt_state, plans,
+            table_names)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt, batch_stats=new_stats)
+        return state, parts
+
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         rng_samp, rng_drop = jax.random.split(rng)
         if cfg.need_sample and num_ngs > 0:
@@ -111,9 +159,20 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
         if use_compact:
             from clsr_tpu.parallel.embedding import active_mesh
             from clsr_tpu.training.compact_rows import supported_tables
+            from clsr_tpu.training.lazy_adam import is_pmn
             table_names = supported_tables(state.params)
-            if table_names is not None and active_mesh() is None:
-                return compact_step(state, batch, rng_drop, table_names)
+            mesh = active_mesh()
+            if table_names is not None:
+                if mesh is None:
+                    return compact_step(state, batch, rng_drop, table_names)
+                import flax.traverse_util as tu
+                flat = tu.flatten_dict(state.params)
+                fused = all(
+                    is_pmn(flat[p], state.opt_state.moments[p])
+                    for p in table_names)
+                if fused:
+                    return mesh_compact_step(state, batch, rng_drop,
+                                             table_names, mesh)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

@@ -31,13 +31,17 @@ from tests.test_lazy_adam import _batch
 N_ITEMS, N_CATES, N_USERS = 96, 24, 48
 
 
-def _cfg(dp=1, mp=1):
+def _cfg(dp=1, mp=1, compact="auto"):
+    # compact='auto' exercises the mesh-compact/pmn engine
+    # (training/mesh_compact.py); compact='off' keeps the legacy
+    # formulation (gather_rows + table_update_sharded) covered.
     return Config(
         model_type="gru4rec", user_vocab="u", item_vocab="i", cate_vocab="c",
         max_seq_length=6, batch_size=16, train_num_ngs=2, hidden_size=8,
         item_embedding_dim=8, cate_embedding_dim=4, user_embedding_dim=8,
         layer_sizes=(8,), activation=("relu",), optimizer="lazyadam",
         enable_bn=False, seed=0, data_parallel=dp, model_parallel=mp,
+        compact_rows=compact,
     ).validate()
 
 
@@ -75,10 +79,13 @@ def _run_steps(step_fn, state, batches, shard=None):
     return state, parts
 
 
-def test_sharded_lazyadam_matches_single_device():
+@pytest.mark.parametrize("compact", ["auto", "off"])
+def test_sharded_lazyadam_matches_single_device(compact):
     """One full step (fwd + bwd through the collective gathers + lazy
     update) must match the single-device program to float noise; over
-    further steps the LOSS trajectory must track.
+    further steps the LOSS trajectory must track.  Runs for both the
+    mesh-compact engine (compact='auto') and the legacy dense-grad
+    formulation (compact='off').
 
     (Element-wise param comparison beyond one step is meaningless here:
     Adam's m_hat/(sqrt(v_hat)+eps) amplifies ~1e-9 psum-reassociation
@@ -88,13 +95,13 @@ def test_sharded_lazyadam_matches_single_device():
     rng_np = np.random.RandomState(0)
     batches = [_batch(rng_np, N_ITEMS, N_CATES, N_USERS) for _ in range(4)]
 
-    cfg1 = _cfg()
+    cfg1 = _cfg(compact=compact)
     model = get_model_class("gru4rec")(
         cfg=cfg1, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
     state = create_train_state(model, cfg1, batches[0])
     step1 = make_train_step(model, cfg1, donate=False)
 
-    cfg2 = _cfg(dp=4, mp=2)
+    cfg2 = _cfg(dp=4, mp=2, compact=compact)
     model2 = get_model_class("gru4rec")(
         cfg=cfg2, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
     state2 = create_train_state(model2, cfg2, batches[0])
@@ -125,10 +132,11 @@ def test_sharded_lazyadam_matches_single_device():
     np.testing.assert_allclose(ref_losses, got_losses, rtol=1e-4)
 
 
-def test_sharded_step_hlo_has_no_full_table():
+@pytest.mark.parametrize("compact", ["auto", "off"])
+def test_sharded_step_hlo_has_no_full_table(compact):
     rng_np = np.random.RandomState(0)
     batch = _batch(rng_np, N_ITEMS, N_CATES, N_USERS)
-    cfg = _cfg(dp=4, mp=2)
+    cfg = _cfg(dp=4, mp=2, compact=compact)
     model = get_model_class("gru4rec")(
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
     state = create_train_state(model, cfg, batch)
