@@ -237,6 +237,16 @@ class Config:
                                       # recurrences (identical math; cuts
                                       # per-iteration loop overhead for
                                       # long histories)
+    # fused-encoder scan levers (ops/fused_clsr.py; identical math,
+    # measured on TPU in scripts/bench_scan.py — the scan is
+    # per-iteration-overhead-bound, scripts/bench_scan_overhead.py):
+    scan_concat_inputs: bool = True   # ONE scanned input array per step
+                                      # instead of six (fewer dynamic
+                                      # slices per iteration)
+    scan_remat_body: bool = True      # checkpoint the scan BODY: the
+                                      # backward saves carries + input
+                                      # slices only (f32 grad -28%,
+                                      # bf16 -34% at Kuaishou shapes)
     # K steps per dispatch (steps.py:make_multi_train_step).  Amortizes
     # per-dispatch overhead (~25ms/call under the dev relay's sync mode
     # — utils/device.py); tail batches run single-step, so no examples

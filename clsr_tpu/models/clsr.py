@@ -132,6 +132,8 @@ class CLSRModel(SequentialModelBase):
                 predict_long_short=cfg.predict_long_short,
                 use_pallas=cfg.use_pallas_scan, dtype=cdt,
                 unroll=cfg.scan_unroll,
+                concat_scan_inputs=cfg.scan_concat_inputs,
+                remat_body=cfg.scan_remat_body,
                 name="fused_encoders",
             )(hist, batch.time_from_first, batch.time_to_now, mask,
               user_short)

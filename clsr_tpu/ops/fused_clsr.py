@@ -53,6 +53,26 @@ class FusedCLSREncoder(nn.Module):
     # contribute exact 0.0 terms, so the math is identical (x + 0.0 == x
     # for finite x); only active when all three cells run.
     fuse_cell_matmuls: bool = True
+    # scan the six per-step input arrays as ONE concatenated [L, B, K]
+    # array: each scanned array costs ~0.5us/iter of dynamic-slice
+    # latency on this chip (scripts/bench_scan_overhead.py — the scan is
+    # per-iteration-overhead-bound, floor ~5us/iter), so one slice per
+    # step instead of six is a measured win.  Slices of the concat are
+    # bit-identical to the separate arrays; only the blockdiag scan uses
+    # it (the per-cell fallback path keeps separate arrays).
+    concat_scan_inputs: bool = True
+    # wrap the scan BODY in jax.checkpoint: the backward then saves only
+    # the per-step carry + input slice (2 stacked residual arrays)
+    # instead of every body intermediate (~12 stacked arrays), trading
+    # ~one extra body recompute per backward iteration for most of the
+    # per-iteration residual DUS/DS latency (the scan is
+    # per-iteration-overhead-bound, scripts/bench_scan_overhead.py).
+    # NOT the same as jax.checkpoint around the whole encoder (which
+    # reruns the entire sequential scan in the backward and loses,
+    # docs/RESULTS_r2.md).  Only affects the blockdiag scan.  Measured
+    # (scripts/bench_scan.py, Kuaishou shapes): grad -28% f32 / -34%
+    # bf16 — default on.
+    remat_body: bool = True
 
     @nn.compact
     def __call__(self, hist: jnp.ndarray, t_last: jnp.ndarray,
@@ -221,10 +241,24 @@ class FusedCLSREncoder(nn.Module):
 
         xgates = jnp.concatenate([xg1, xw, xg2], axis=-1)
         xcands = jnp.concatenate([xc1, xc2], axis=-1)
+        GW_ = xgates.shape[-1]
+        CW_ = xcands.shape[-1]
+        H_ = tn_state.shape[-1]
+
+        def unpack(inp):
+            """Slice one concatenated per-step input back into the six
+            logical arrays (bit-identical values)."""
+            if not self.concat_scan_inputs:
+                return inp
+            o1 = GW_ + CW_
+            return (inp[:, :GW_], inp[:, GW_:o1],
+                    inp[:, o1:o1 + H_], inp[:, o1 + H_:o1 + 2 * H_],
+                    inp[:, o1 + 2 * H_:o1 + 3 * H_],
+                    inp[:, o1 + 3 * H_].astype(jnp.float32))
 
         def step(carry, inp):
             h1, c, m, h2 = carry
-            xg_t, xc_t, tn_t, tl_t, ot_t, m_t = inp
+            xg_t, xc_t, tn_t, tl_t, ot_t, m_t = unpack(inp)
             mt = m_t[:, None]
 
             Z = jnp.concatenate([h1, m, h2], axis=-1)
@@ -254,10 +288,17 @@ class FusedCLSREncoder(nn.Module):
 
             return (h1, c, m, h2), mt * m_new
 
+        if self.concat_scan_inputs:
+            cat = jnp.concatenate(
+                [xgates, xcands, tn_state, tl_state, o_time,
+                 mask[..., None].astype(xgates.dtype)], axis=-1)
+            xs = _to_time_major(cat)
+        else:
+            xs = (tuple(_to_time_major(x) for x in
+                        (xgates, xcands, tn_state, tl_state, o_time))
+                  + (_to_time_major(mask),))
+        body = jax.checkpoint(step) if self.remat_body else step
         (h1_f, _, _, h2_f), outs = jax.lax.scan(
-            step, (h1_0, c0, m0, h2_0),
-            tuple(_to_time_major(x) for x in
-                  (xgates, xcands, tn_state, tl_state, o_time))
-            + (_to_time_major(mask),), unroll=self.unroll)
+            body, (h1_0, c0, m0, h2_0), xs, unroll=self.unroll)
 
         return h1_f, _to_batch_major(outs), h2_f

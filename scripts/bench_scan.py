@@ -47,9 +47,12 @@ def main():
     mask = jnp.ones((B, L), jnp.float32)
     user_short = jnp.asarray(rng.randn(B, U).astype(np.float32) * 0.1)
 
-    def bench(label, dtype, unroll, blockdiag, mode, remat=False):
+    def bench(label, dtype, unroll, blockdiag, mode, remat=False,
+              concat=True, remat_body=False):
         mod = FusedCLSREncoder(U, H, dtype=dtype, unroll=unroll,
-                               fuse_cell_matmuls=blockdiag)
+                               fuse_cell_matmuls=blockdiag,
+                               concat_scan_inputs=concat,
+                               remat_body=remat_body)
         variables = mod.init(jax.random.PRNGKey(0), hist, t_last, t_now,
                              mask, user_short)
 
@@ -94,23 +97,31 @@ def main():
 
     # each variant is a separate ~5-10min TPU compile through the relay —
     # select what you pay for
+    # (dtype, unroll, blockdiag, remat_whole_encoder, concat, remat_body)
     variants = {
-        "f32": (None, 1, True, False), "bf16": (jnp.bfloat16, 1, True,
-                                                False),
-        "f32u4": (None, 4, True, False),
-        "bf16u4": (jnp.bfloat16, 4, True, False),
-        "f32percell": (None, 1, False, False),
-        "bf16percell": (jnp.bfloat16, 1, False, False),
-        "f32remat": (None, 1, True, True),
-        "bf16remat": (jnp.bfloat16, 1, True, True),
+        "f32": (None, 1, True, False, True, False),
+        "bf16": (jnp.bfloat16, 1, True, False, True, False),
+        "f32nocat": (None, 1, True, False, False, False),
+        "bf16nocat": (jnp.bfloat16, 1, True, False, False, False),
+        "f32rb": (None, 1, True, False, True, True),
+        "f32nocatrb": (None, 1, True, False, False, True),
+        "bf16nocatrb": (jnp.bfloat16, 1, True, False, False, True),
+        "bf16rb": (jnp.bfloat16, 1, True, False, True, True),
+        "f32u4": (None, 4, True, False, True, False),
+        "bf16u4": (jnp.bfloat16, 4, True, False, True, False),
+        "f32percell": (None, 1, False, False, False, False),
+        "bf16percell": (jnp.bfloat16, 1, False, False, False, False),
+        "f32remat": (None, 1, True, True, True, False),
+        "bf16remat": (jnp.bfloat16, 1, True, True, True, False),
     }
     sel = os.environ.get("SCAN_VARIANTS", "f32,bf16").split(",")
     for name in sel:
-        dtype, unroll, blockdiag, remat = variants[name]
-        if "remat" not in name:
-            bench(f"fwd  {name}", dtype, unroll, blockdiag, "fwd")
+        dtype, unroll, blockdiag, remat, concat, remat_body = variants[name]
+        if "remat" not in name and "rb" not in name:
+            bench(f"fwd  {name}", dtype, unroll, blockdiag, "fwd",
+                  concat=concat, remat_body=remat_body)
         bench(f"grad {name}", dtype, unroll, blockdiag, "grad",
-              remat=remat)
+              remat=remat, concat=concat, remat_body=remat_body)
 
 
 if __name__ == "__main__":
