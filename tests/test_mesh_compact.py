@@ -152,3 +152,39 @@ def test_mesh_compact_hlo_has_no_full_table():
     assert not re.findall(r"f32\[96,8\]", txt)
     assert not re.findall(r"f32\[96,24\]", txt)
     assert not re.findall(r"all-gather[^\n]*f32\[96,", txt)
+
+
+def test_mesh_compact_multi_step_matches_sequential():
+    """K sharded steps per dispatch (mesh-compact inside lax.scan) must
+    equal K sequential sharded single steps — the shard_map plan build /
+    gather / update all trace inside the scan body."""
+    from clsr_tpu.parallel.mesh import (make_sharded_multi_train_step,
+                                        shard_stacked_batches)
+
+    rng_np = np.random.RandomState(2)
+    batches = [_batch(rng_np, N_ITEMS, N_CATES, N_USERS) for _ in range(3)]
+
+    cfg = _cfg(dp=4, mp=2)
+    model, state = _build("gru4rec", cfg, batches[0])
+    mesh = make_mesh(4, 2)
+
+    s_seq = place_state(state, mesh, True)
+    step = make_sharded_train_step(model, cfg, mesh, state, True)
+    rng = jax.random.PRNGKey(7)
+    for i in range(3):
+        s_seq, parts_seq = step(s_seq, shard_batch(batches[i], mesh),
+                                jax.random.fold_in(rng, i))
+
+    s_multi = place_state(state, mesh, True)
+    multi = make_sharded_multi_train_step(model, cfg, mesh, state, 3, True)
+    stacked = shard_stacked_batches(batches, mesh)
+    s_multi, parts_multi = multi(s_multi, stacked, rng)
+
+    np.testing.assert_allclose(float(parts_multi.loss[-1]),
+                               float(parts_seq.loss), rtol=1e-5)
+    a = jax.tree_util.tree_flatten_with_path(s_seq.params)[0]
+    b = jax.tree_util.tree_flatten_with_path(s_multi.params)[0]
+    for (pa, x), (pb, y) in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-6,
+                                   err_msg=str(pa))
