@@ -254,6 +254,16 @@ class Config:
     train_steps_per_call: int = 32
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)
+    mesh_flat_batch: str = "auto"   # 'auto' | 'on' | 'off' — shard the
+                                    # batch over BOTH mesh axes (flat
+                                    # data parallelism over d*m devices;
+                                    # dense towers stop being replicated
+                                    # over 'model', table lookups become
+                                    # the DLRM-style id-exchange +
+                                    # reduce-scatter, parallel/
+                                    # embedding.py).  'auto' = on when
+                                    # model_parallel > 1 and the batch
+                                    # divides d*m.
     prefetch_batches: int = 2
     resident_data: str = "auto"     # 'auto' | 'on' | 'off' — upload the
                                     # padded train set to HBM once and
@@ -323,6 +333,10 @@ class Config:
             # (mixed dtypes) and keep no f32 update path for bf16 params
             raise ValueError(
                 "embedding_dtype=bfloat16 requires optimizer=lazyadam")
+        if self.mesh_flat_batch not in ("auto", "on", "off"):
+            raise ValueError(
+                f"mesh_flat_batch must be auto/on/off, "
+                f"got {self.mesh_flat_batch}")
         if self.compact_rows not in ("auto", "off"):
             raise ValueError(
                 f"compact_rows must be auto/off, got {self.compact_rows}")

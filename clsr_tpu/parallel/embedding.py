@@ -26,6 +26,22 @@ Activation: the sharded step builders (parallel/mesh.py) wrap tracing in
 `use_sharded_tables(mesh)`; model code calls `gather_rows` /
 `gather_rows_replicated`, which fall back to plain indexing when no mesh
 context is active (single-device path unchanged).
+
+FLAT BATCH MODE (`use_sharded_tables(mesh, flat_batch=True)`, config
+`mesh_flat_batch`): the batch is sharded over BOTH mesh axes — flat
+data parallelism over d*m devices.  The replicated-batch formulation
+wastes the model axis on the dense towers (every model shard redoes
+the same scans/attention/MLPs) and psums full-width mostly-zero
+lookup results; in flat mode the dense compute splits d*m ways and the
+lookup becomes the DLRM-style exchange expressed with TPU collectives:
+all-gather the (tiny, int32) id blocks over 'model', each shard
+gathers its owned rows for all m blocks, and ONE psum_scatter returns
+each device exactly its own block's rows — ~half the collective bytes
+at 1/m the per-device id count (SURVEY §2.4's all-to-all lookup, in
+reduce-scatter form).  Tables stay P('model', None); the row-update
+merges all-gather (ids, grads) over both axes (lazy_adam /
+mesh_compact).  Differential-equal to the single-device engine
+(tests/test_mesh_compact.py).
 """
 
 from __future__ import annotations
@@ -45,15 +61,28 @@ def active_mesh() -> Optional[Mesh]:
     return getattr(_state, "mesh", None)
 
 
+def active_flat_batch() -> bool:
+    """True when the batch is sharded over BOTH mesh axes (flat data
+    parallelism over d*m devices; tables stay row-sharded on 'model')."""
+    return bool(getattr(_state, "flat", False))
+
+
+def batch_axes(flat: bool):
+    return ("data", "model") if flat else ("data",)
+
+
 @contextlib.contextmanager
-def use_sharded_tables(mesh: Optional[Mesh]):
+def use_sharded_tables(mesh: Optional[Mesh], flat_batch: bool = False):
     """Route table lookups through collective gathers while tracing."""
     prev = getattr(_state, "mesh", None)
+    prev_flat = getattr(_state, "flat", False)
     _state.mesh = mesh
+    _state.flat = flat_batch if mesh is not None else False
     try:
         yield
     finally:
         _state.mesh = prev
+        _state.flat = prev_flat
 
 
 def _local_masked_gather(table_shard: jnp.ndarray, ids: jnp.ndarray
@@ -68,8 +97,30 @@ def _local_masked_gather(table_shard: jnp.ndarray, ids: jnp.ndarray
     return jax.lax.psum(vals, "model")
 
 
+def _local_gather_flat(table_shard: jnp.ndarray, ids: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Flat-batch lookup: each device's ids are DISTINCT (batch sharded
+    over both axes), so instead of psum'ing full-width masked results,
+    the m model peers exchange id blocks (all_gather over 'model' —
+    4B/id), each gathers its owned rows for ALL m blocks, and one
+    psum_scatter returns each device exactly its own block's rows —
+    ~half the collective bytes of the replicated-batch psum AND 1/m the
+    ids per device (the DLRM-style all-to-all exchange, SURVEY §2.4,
+    expressed as all-gather-ids + reduce-scatter-rows)."""
+    rows = table_shard.shape[0]
+    ids_all = jax.lax.all_gather(ids, "model")          # [m, b_loc, n]
+    lo = jax.lax.axis_index("model") * rows
+    loc = ids_all - lo
+    ok = (loc >= 0) & (loc < rows)
+    vals = table_shard[jnp.clip(loc, 0, rows - 1)]      # [m, b_loc, n, D]
+    vals = vals * ok[..., None].astype(vals.dtype)
+    return jax.lax.psum_scatter(vals, "model", scatter_dimension=0,
+                                tiled=False)            # [b_loc, n, D]
+
+
 def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """table[ids] with ids batch-leading (sharded over 'data' on a mesh).
+    """table[ids] with ids batch-leading (sharded over the mesh's batch
+    axes).
 
     ids may be any shape with a leading batch axis; returns
     ids.shape + (D,).
@@ -78,13 +129,19 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     if mesh is None or table.shape[0] % mesh.shape["model"] != 0:
         return table[ids]   # replicated table (or single device)
 
-    flat = ids.reshape(ids.shape[0], -1)
-
-    out = jax.shard_map(
-        _local_masked_gather, mesh=mesh,
-        in_specs=(P("model", None), P("data", None)),
-        out_specs=P("data", None, None),
-    )(table, flat)
+    flat_ids = ids.reshape(ids.shape[0], -1)
+    if active_flat_batch():
+        out = jax.shard_map(
+            _local_gather_flat, mesh=mesh,
+            in_specs=(P("model", None), P(("data", "model"), None)),
+            out_specs=P(("data", "model"), None, None),
+        )(table, flat_ids)
+    else:
+        out = jax.shard_map(
+            _local_masked_gather, mesh=mesh,
+            in_specs=(P("model", None), P("data", None)),
+            out_specs=P("data", None, None),
+        )(table, flat_ids)
     return out.reshape(ids.shape + (table.shape[1],))
 
 

@@ -44,16 +44,19 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
-def batch_sharding(mesh: Mesh) -> Batch:
-    """A Batch-shaped pytree of NamedShardings: all leaves sharded on rows."""
-    row = NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, flat: bool = False) -> Batch:
+    """A Batch-shaped pytree of NamedShardings: all leaves sharded on
+    rows — over 'data' only, or over BOTH axes (flat data parallelism,
+    parallel/embedding.py docstring) when flat."""
+    from clsr_tpu.parallel.embedding import batch_axes
+    row = NamedSharding(mesh, P(batch_axes(flat)))
     return jax.tree_util.tree_map(lambda _: row, Batch(
         users=0, items=0, cates=0, labels=0, item_hist=0, cate_hist=0,
         mask=0, time_diff=0, time_from_first=0, time_to_now=0, valid=0))
 
 
-def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
-    shardings = batch_sharding(mesh)
+def shard_batch(batch: Batch, mesh: Mesh, flat: bool = False) -> Batch:
+    shardings = batch_sharding(mesh, flat)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(np.asarray(x), s), batch, shardings)
 
@@ -137,7 +140,8 @@ def place_state(state: TrainState, mesh: Mesh,
 
 def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
                             state: TrainState,
-                            shard_embeddings: bool = False):
+                            shard_embeddings: bool = False,
+                            flat_batch: bool = False):
     """Jit the train step with explicit in/out shardings over the mesh.
 
     With shard_embeddings, tracing runs under `use_sharded_tables(mesh)`
@@ -153,14 +157,15 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
     raw_inner = make_train_step_fn(model, cfg)
 
     def raw(state, batch, rng):
-        with use_sharded_tables(mesh if shard_embeddings else None):
+        with use_sharded_tables(mesh if shard_embeddings else None,
+                                flat_batch):
             state, parts = raw_inner(state, batch, rng)
         # pmn fused layout: params tables are a lagging view, refreshed
         # at the jit boundary (shard-local slice of the [N, 3D] rows)
         return sync_params_from_opt(state), parts
 
     st_shard = state_sharding(state, mesh, shard_embeddings)
-    b_shard = batch_sharding(mesh)
+    b_shard = batch_sharding(mesh, flat_batch)
     replicated = NamedSharding(mesh, P())
     parts_shard = LossParts(loss=replicated, data_loss=replicated,
                             regular_loss=replicated,
@@ -177,7 +182,8 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
 
 def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
                                   state: TrainState, steps_per_call: int,
-                                  shard_embeddings: bool = False):
+                                  shard_embeddings: bool = False,
+                                  flat_batch: bool = False):
     """K sharded train steps per dispatch: lax.scan over a [K, B, ...]
     stacked batch whose row axis is sharded over 'data'.  Composes the
     dispatch amortization of make_multi_train_step with the mesh."""
@@ -195,16 +201,19 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
             return raw(s, batch, jax.random.fold_in(rng, i))
 
         idx = jnp.arange(steps_per_call)
-        with use_sharded_tables(mesh if shard_embeddings else None):
+        with use_sharded_tables(mesh if shard_embeddings else None,
+                                flat_batch):
             st, parts = jax.lax.scan(body, st, (idx, batches))
         # pmn fused layout: refresh the lagging params tables once per
         # dispatch (see steps.sync_params_from_opt)
         return sync_params_from_opt(st), parts
 
+    from clsr_tpu.parallel.embedding import batch_axes
     st_shard = state_sharding(state, mesh, shard_embeddings)
-    # stacked batches: [K, B, ...] with rows sharded over 'data'
+    # stacked batches: [K, B, ...] with rows sharded over the batch axes
     stacked_b = jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, P(None, "data")), batch_sharding(mesh))
+        lambda s: NamedSharding(mesh, P(None, batch_axes(flat_batch))),
+        batch_sharding(mesh))
     replicated = NamedSharding(mesh, P())
     from clsr_tpu.training.losses import LossParts
     parts_shard = LossParts(loss=replicated, data_loss=replicated,
@@ -222,30 +231,34 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
 
 def make_sharded_eval_step(model, cfg: Config, mesh: Mesh,
                            state: TrainState,
-                           shard_embeddings: bool = False):
+                           shard_embeddings: bool = False,
+                           flat_batch: bool = False):
     """Jitted eval step over the mesh (collective table lookups when
     shard_embeddings)."""
-    from clsr_tpu.parallel.embedding import use_sharded_tables
+    from clsr_tpu.parallel.embedding import batch_axes, use_sharded_tables
     from clsr_tpu.training.steps import make_eval_step_fn
 
     raw_inner = make_eval_step_fn(model, cfg)
 
     def raw(st, batch):
-        with use_sharded_tables(mesh if shard_embeddings else None):
+        with use_sharded_tables(mesh if shard_embeddings else None,
+                                flat_batch):
             return raw_inner(st, batch)
 
     st_shard = state_sharding(state, mesh, shard_embeddings)
-    b_shard = batch_sharding(mesh)
-    out = NamedSharding(mesh, P("data"))
+    b_shard = batch_sharding(mesh, flat_batch)
+    out = NamedSharding(mesh, P(batch_axes(flat_batch)))
     return jax.jit(raw, in_shardings=(st_shard, b_shard),
                    out_shardings=(out, out))
 
 
-def shard_stacked_batches(batches, mesh: Mesh):
-    """Stack K host batches and place with [K, B('data'), ...] sharding."""
+def shard_stacked_batches(batches, mesh: Mesh, flat: bool = False):
+    """Stack K host batches and place with [K, B(batch axes), ...]
+    sharding."""
+    from clsr_tpu.parallel.embedding import batch_axes
     from clsr_tpu.training.steps import stack_batches
 
     stacked = stack_batches(batches)
-    sharding = NamedSharding(mesh, P(None, "data"))
+    sharding = NamedSharding(mesh, P(None, batch_axes(flat)))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x), sharding), stacked)

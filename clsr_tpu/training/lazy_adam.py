@@ -171,22 +171,26 @@ def make_lazy_optimizer(cfg: Config):
         return (param.at[ids].set(new_rows),
                 mn.at[ids].set(jnp.concatenate(parts, axis=-1)))
 
-    def table_update_sharded(mesh, param, grad_dense, mn, ids, t):
+    def table_update_sharded(mesh, param, grad_dense, mn, ids, t,
+                             flat=False):
         """Shard-local row update for a P('model', None) table.
 
-        Touched ids are all-gathered over 'data' (4B/id); each model
-        shard updates only the rows it owns — no table-sized collective
-        (the round-1 GSPMD formulation all-gathered the full table,
-        VERDICT r1).  Per-tensor clip uses a psum'd global row norm so
-        the scale matches the dense path exactly.
+        Touched ids are all-gathered over the batch axes (4B/id); each
+        model shard updates only the rows it owns — no table-sized
+        collective (the round-1 GSPMD formulation all-gathered the full
+        table, VERDICT r1).  Per-tensor clip uses a psum'd global row
+        norm so the scale matches the dense path exactly.
         """
         from jax.sharding import PartitionSpec as P
 
+        from clsr_tpu.parallel.embedding import batch_axes
+
         D = param.shape[1]
         off = D if is_pmn(param, mn) else 0
+        axes = batch_axes(flat)
 
         def local(param_s, grad_s, mn_s, ids_l, t):
-            ids_g = jax.lax.all_gather(ids_l, "data", tiled=True)
+            ids_g = jax.lax.all_gather(ids_l, axes, tiled=True)
             ids_sorted = jnp.sort(ids_g)
             first = jnp.concatenate(
                 [jnp.ones((1,), bool), ids_sorted[1:] != ids_sorted[:-1]])
@@ -226,7 +230,7 @@ def make_lazy_optimizer(cfg: Config):
         return jax.shard_map(
             local, mesh=mesh,
             in_specs=(P("model", None), P("model", None), P("model", None),
-                      P("data"), P()),
+                      P(axes if flat else "data"), P()),
             out_specs=(P("model", None),) * 2,
             check_vma=False,
         )(param, grad_dense, mn, ids.reshape(-1), t)
@@ -285,7 +289,8 @@ def make_lazy_optimizer(cfg: Config):
                 mn.at[tgt].set(jnp.concatenate([m_new, v_new], axis=-1),
                                **kw))
 
-    def compact_table_update_mesh(mesh, param, gw, mn, plan, t):
+    def compact_table_update_mesh(mesh, param, gw, mn, plan, t,
+                                  flat=False):
         """Mesh-compact row update (training/mesh_compact.py, ROADMAP 8).
 
         gw is the per-data-shard w-space gradient [d, Mi, D].  The merge
@@ -299,15 +304,18 @@ def make_lazy_optimizer(cfg: Config):
         (steps.sync_params_from_opt)."""
         from jax.sharding import PartitionSpec as P
 
+        from clsr_tpu.parallel.embedding import batch_axes
+
         N, D = param.shape
         if not is_pmn(param, mn):
             raise ValueError("mesh-compact requires the pmn fused layout")
         dM = plan.gperm.shape[0]
         shardable = (N % mesh.shape["model"] == 0)
+        axes = batch_axes(flat)
 
         def local(mn_s, gw_b, ids_b, gperm, gseg, t):
-            g_all = jax.lax.all_gather(gw_b[0], "data")     # [d, Mi, D]
-            ids_all = jax.lax.all_gather(ids_b[0], "data")  # [d, Mi]
+            g_all = jax.lax.all_gather(gw_b[0], axes)     # [d, Mi, D]
+            ids_all = jax.lax.all_gather(ids_b[0], axes)  # [d, Mi]
             gflat = g_all.reshape(-1, D).astype(jnp.float32)[gperm]
             uids = ids_all.reshape(-1)[gperm]
             g = jax.ops.segment_sum(gflat, gseg, num_segments=dM,
@@ -337,12 +345,13 @@ def make_lazy_optimizer(cfg: Config):
             return mn_s.at[tgt].set(pmn_rows, mode="drop")
 
         mn_spec = P("model", None) if shardable else P()
+        ax = axes if flat else "data"
         # check_vma off as in table_update_sharded: the merge inputs are
         # data-invariant after the all_gathers, which the checker cannot
         # infer; this update is not differentiated through
         new_mn = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(mn_spec, P("data", None, None), P("data", None),
+            in_specs=(mn_spec, P(ax, None, None), P(ax, None),
                       P(), P(), P()),
             out_specs=mn_spec,
             check_vma=False,
@@ -350,10 +359,11 @@ def make_lazy_optimizer(cfg: Config):
         return param, new_mn
 
     def compact_mesh_update_fn(mesh, params, dense_grads, gws,
-                               state: LazyAdamState, plans, table_names):
+                               state: LazyAdamState, plans, table_names,
+                               flat=False):
         """Mesh twin of compact_update_fn: per-table mesh-compact row
         updates + the flattened dense Adam (dense grads arrive already
-        psum'd over 'data' by GSPMD)."""
+        psum'd over the batch axes by GSPMD)."""
         p_tables, p_dense = _split(params)
         count = state.count + 1
         t = count.astype(jnp.float32)
@@ -363,7 +373,7 @@ def make_lazy_optimizer(cfg: Config):
             name = table_names[path]
             p_new, mn_new = compact_table_update_mesh(
                 mesh, param, gws[name], state.moments[path],
-                plans[name], t)
+                plans[name], t, flat=flat)
             new_tables[path] = p_new
             new_moments[path] = mn_new
 
@@ -425,9 +435,10 @@ def make_lazy_optimizer(cfg: Config):
                     f"lazyadam: no touched-row mapping for table {name}")
             if (mesh is not None
                     and param.shape[0] % mesh.shape["model"] == 0):
+                from clsr_tpu.parallel.embedding import active_flat_batch
                 p_new, mn_new = table_update_sharded(
                     mesh, param, g_tables[path], state.moments[path],
-                    ids, t)
+                    ids, t, flat=active_flat_batch())
             else:
                 p_new, mn_new = table_update(
                     param, g_tables[path], state.moments[path], ids, t)

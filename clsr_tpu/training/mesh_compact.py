@@ -54,9 +54,11 @@ from typing import Any, Dict
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from clsr_tpu.data.batch import Batch
+from clsr_tpu.parallel.embedding import batch_axes
 from clsr_tpu.training.compact_rows import SITE_SPECS, build_plan
 
 
@@ -137,8 +139,13 @@ def _stack_shardwise(sites: Dict[str, jnp.ndarray], d: int
     return out
 
 
-def build_mesh_plan(mesh: Mesh, sites: Dict[str, jnp.ndarray]) -> MeshPlan:
-    d = mesh.shape["data"]
+def build_mesh_plan(mesh: Mesh, sites: Dict[str, jnp.ndarray],
+                    flat: bool = False) -> MeshPlan:
+    """flat=True: the batch (and the plan's leading axis) is sharded
+    over BOTH mesh axes (d*m shards, data-major device order — matches
+    P(('data','model')) block assignment)."""
+    axes = batch_axes(flat)
+    d = int(np.prod([mesh.shape[a] for a in axes]))
     stacked = _stack_shardwise(sites, d)
     site_names = list(stacked.keys())
 
@@ -146,7 +153,7 @@ def build_mesh_plan(mesh: Mesh, sites: Dict[str, jnp.ndarray]) -> MeshPlan:
         squeezed = {s: blocks[s][0] for s in site_names}
         plan = build_plan(squeezed)
         # ids-only collective: [d, Mi] int32
-        ids_all = jax.lax.all_gather(plan.sorted_ids, "data")
+        ids_all = jax.lax.all_gather(plan.sorted_ids, axes)
         flat = ids_all.reshape(-1)
         gperm = jnp.argsort(flat)            # stable: shard-major ties
         s_sorted = flat[gperm]
@@ -155,17 +162,18 @@ def build_mesh_plan(mesh: Mesh, sites: Dict[str, jnp.ndarray]) -> MeshPlan:
         gseg = jnp.cumsum(firstg.astype(jnp.int32)) - 1
         inv = jnp.argsort(gperm)
         gfirst_flat = firstg[inv]            # back to shard-major layout
-        k = jax.lax.axis_index("data")
+        k = jax.lax.axis_index(axes)
         mi = plan.sorted_ids.shape[0]
         gfirst = jax.lax.dynamic_slice(gfirst_flat, (k * mi,), (mi,))
         return (plan.sorted_ids[None], gfirst[None],
                 {s: plan.pos[s][None] for s in site_names},
                 gperm.astype(jnp.int32), gseg)
 
-    in_specs = ({s: P("data", *([None] * (v.ndim - 1)))
+    ax = axes if flat else "data"
+    in_specs = ({s: P(ax, *([None] * (v.ndim - 1)))
                  for s, v in stacked.items()},)
-    out_specs = (P("data", None), P("data", None),
-                 {s: P("data", *([None] * (stacked[s].ndim - 1)))
+    out_specs = (P(ax, None), P(ax, None),
+                 {s: P(ax, *([None] * (stacked[s].ndim - 1)))
                   for s in site_names},
                  P(), P())
     # check_vma off: gperm/gseg are replicated outputs derived from the
@@ -178,10 +186,10 @@ def build_mesh_plan(mesh: Mesh, sites: Dict[str, jnp.ndarray]) -> MeshPlan:
                     gperm=gperm, gseg=gseg)
 
 
-def build_mesh_plans(mesh: Mesh, table_names: Dict[Any, str], batch: Batch
-                     ) -> Dict[str, MeshPlan]:
+def build_mesh_plans(mesh: Mesh, table_names: Dict[Any, str], batch: Batch,
+                     flat: bool = False) -> Dict[str, MeshPlan]:
     """One plan per table name (compact_rows.build_plans, mesh form)."""
-    return {name: build_mesh_plan(mesh, SITE_SPECS[name](batch))
+    return {name: build_mesh_plan(mesh, SITE_SPECS[name](batch), flat)
             for name in set(table_names.values())}
 
 

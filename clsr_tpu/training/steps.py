@@ -111,10 +111,13 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
                                                     gather_mesh_ws,
                                                     make_mesh_context)
 
+        from clsr_tpu.parallel.embedding import active_flat_batch
+        flat_mode = active_flat_batch()
+
         flat = tu.flatten_dict(state.params)
         tables = {p: v for p, v in flat.items() if p in table_names}
         dense = {p: v for p, v in flat.items() if p not in table_names}
-        plans = build_mesh_plans(mesh, table_names, batch)
+        plans = build_mesh_plans(mesh, table_names, batch, flat=flat_mode)
         src = {p: state.opt_state.moments[p] for p in tables}
         ws_full = gather_mesh_ws(src, table_names, plans)  # [d, Mi, 3D]
         ws = {table_names[p]:
@@ -141,7 +144,7 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
             loss_fn, argnums=(0, 1), has_aux=True)(dense, ws)
         new_params, new_opt = lazy_update.compact_mesh(
             mesh, state.params, g_dense, gws, state.opt_state, plans,
-            table_names)
+            table_names, flat=flat_mode)
         state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt, batch_stats=new_stats)
         return state, parts

@@ -37,6 +37,7 @@ class Trainer:
         self.log = log
         self.state = create_train_state(model, cfg, sample_batch, rng)
         self._mesh = None
+        self._flat_batch = False
         self._batch_sharding = None
         self._place_item = None   # per-item device placement for the
                                   # stacked streaming path (None = default
@@ -50,15 +51,20 @@ class Trainer:
                                                 place_state, shard_batch)
             self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
             shard_emb = cfg.model_parallel > 1
+            n_dev = cfg.data_parallel * cfg.model_parallel
+            flat = (cfg.mesh_flat_batch == "on"
+                    or (cfg.mesh_flat_batch == "auto" and shard_emb
+                        and cfg.batch_size % n_dev == 0))
+            self._flat_batch = flat
             base_state = self.state
             self.state = place_state(base_state, self._mesh, shard_emb)
             self.train_step = make_sharded_train_step(
-                model, cfg, self._mesh, base_state, shard_emb)
-            self._batch_sharding = batch_sharding(self._mesh)
+                model, cfg, self._mesh, base_state, shard_emb, flat)
+            self._batch_sharding = batch_sharding(self._mesh, flat)
             inner_eval = make_sharded_eval_step(
-                model, cfg, self._mesh, base_state, shard_emb)
+                model, cfg, self._mesh, base_state, shard_emb, flat)
             mesh = self._mesh
-            n_data = cfg.data_parallel
+            n_data = cfg.data_parallel * (cfg.model_parallel if flat else 1)
 
             def sharded_eval(state, batch):
                 rows = batch.users.shape[0]
@@ -70,7 +76,8 @@ class Trainer:
                              np.zeros((pad,) + np.asarray(x).shape[1:],
                                       np.asarray(x).dtype)]),
                         batch)
-                preds, alpha = inner_eval(state, shard_batch(batch, mesh))
+                preds, alpha = inner_eval(state,
+                                          shard_batch(batch, mesh, flat))
                 return preds[:rows], alpha[:rows]
 
             self.eval_step = sharded_eval
@@ -82,9 +89,10 @@ class Trainer:
                     make_sharded_multi_train_step
                 self._multi_step = make_sharded_multi_train_step(
                     model, cfg, self._mesh, base_state,
-                    cfg.train_steps_per_call, shard_emb)
+                    cfg.train_steps_per_call, shard_emb, flat)
+                from clsr_tpu.parallel.embedding import batch_axes
                 stacked_sh = jax.tree_util.tree_map(
-                    lambda s: NamedSharding(mesh, P(None, "data")),
+                    lambda s: NamedSharding(mesh, P(None, batch_axes(flat))),
                     self._batch_sharding)
                 single_sh = self._batch_sharding
 

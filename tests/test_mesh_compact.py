@@ -69,11 +69,16 @@ def _one_step_close(ref_params, got_params, lr, max_flips=5):
     assert d.max() <= 2.1 * lr, d.max()
 
 
-@pytest.mark.parametrize("model_name,dp,mp", [
-    ("gru4rec", 4, 2),
-    ("clsr", 2, 4),
+@pytest.mark.parametrize("model_name,dp,mp,flat", [
+    ("gru4rec", 4, 2, False),
+    ("clsr", 2, 4, False),
+    ("gru4rec", 4, 2, True),
+    ("clsr", 2, 4, True),
 ])
-def test_mesh_compact_matches_single_device(model_name, dp, mp):
+def test_mesh_compact_matches_single_device(model_name, dp, mp, flat):
+    """flat=True: the batch is sharded over BOTH mesh axes (flat data
+    parallelism + DLRM-style table exchange, parallel/embedding.py) —
+    must still equal the single-device engine."""
     rng_np = np.random.RandomState(0)
     batches = [_batch(rng_np, N_ITEMS, N_CATES, N_USERS) for _ in range(4)]
 
@@ -84,17 +89,17 @@ def test_mesh_compact_matches_single_device(model_name, dp, mp):
     cfg2 = _cfg(model_name, dp=dp, mp=mp)
     model2, state2 = _build(model_name, cfg2, batches[0])
     # mesh lazyadam states must take the pmn fused layout now
-    flat = tu.flatten_dict(state2.params)
-    assert all(is_pmn(flat[p], mn)
+    pflat = tu.flatten_dict(state2.params)
+    assert all(is_pmn(pflat[p], mn)
                for p, mn in state2.opt_state.moments.items())
     mesh = make_mesh(dp, mp)
     sstate = place_state(state2, mesh, True)
-    step2 = make_sharded_train_step(model2, cfg2, mesh, state2, True)
+    step2 = make_sharded_train_step(model2, cfg2, mesh, state2, True, flat)
 
     ref, got = [], []
     for i, b in enumerate(batches):
         state, rp = step1(state, b, jax.random.PRNGKey(i))
-        sstate, gp = step2(sstate, shard_batch(b, mesh),
+        sstate, gp = step2(sstate, shard_batch(b, mesh, flat),
                            jax.random.PRNGKey(i))
         ref.append([float(rp.loss), float(rp.regular_loss),
                     float(rp.discrepancy_loss)])
@@ -135,23 +140,29 @@ def test_mesh_compact_replicated_table_fallback():
                                    rtol=1e-5)
 
 
-def test_mesh_compact_hlo_has_no_full_table():
+@pytest.mark.parametrize("flat", [False, True])
+def test_mesh_compact_hlo_has_no_full_table(flat):
     """The full item table is f32[96,8] (pmn f32[96,24]); per-shard
     halves are [48,*].  No full-table tensor and no table-sized
     all-gather may appear — the only f32 collectives are per-shard
-    gathered-row psums and the [d, Mi, D] w-gradient exchange."""
+    gathered-row psums/reduce-scatters and the w-gradient exchange.
+    In flat mode the dense compute must be sharded over ALL 8 devices:
+    per-device activations are [2, 8] (B=16/8), never [4, 8]."""
     rng_np = np.random.RandomState(0)
     batch = _batch(rng_np, N_ITEMS, N_CATES, N_USERS)
     cfg = _cfg(dp=4, mp=2)
     model, state = _build("gru4rec", cfg, batch)
     mesh = make_mesh(4, 2)
     sstate = place_state(state, mesh, True)
-    step = make_sharded_train_step(model, cfg, mesh, state, True)
-    txt = step.lower(sstate, shard_batch(batch, mesh),
+    step = make_sharded_train_step(model, cfg, mesh, state, True, flat)
+    txt = step.lower(sstate, shard_batch(batch, mesh, flat),
                      jax.random.PRNGKey(0)).compile().as_text()
     assert not re.findall(r"f32\[96,8\]", txt)
     assert not re.findall(r"f32\[96,24\]", txt)
     assert not re.findall(r"all-gather[^\n]*f32\[96,", txt)
+    if flat:
+        assert not re.findall(r"f32\[4,8\]", txt)   # no 'data'-only dense
+        assert re.findall(r"f32\[2,8\]", txt)       # d*m-way dense blocks
 
 
 def test_mesh_compact_multi_step_matches_sequential():

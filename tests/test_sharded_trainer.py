@@ -42,6 +42,9 @@ def test_trainer_fits_on_mesh(tmp_path):
         cfg.batch_size, np.random.RandomState(0)))
     trainer = Trainer(model, cfg, sample, log=lambda *a: None)
     assert trainer._mesh is not None
+    # mesh_flat_batch='auto' + model_parallel>1 + divisible batch ->
+    # flat data parallelism over all 8 devices (parallel/embedding.py)
+    assert trainer._flat_batch
     trainer.fit(loaders["train"], loaders["valid"])
     res = run_weighted_eval(trainer.eval_step, trainer.state,
                             loaders["test"], cfg, num_ngs=4)
