@@ -51,12 +51,39 @@ def host_batch_slice(global_rows: int) -> Tuple[int, int]:
     return i * per, (i + 1) * per
 
 
-def global_batch_from_host_shards(host_batch, mesh):
-    """Assemble a logically-global sharded Batch from per-host rows."""
+def global_batch_from_host_shards(host_batch, mesh, flat: bool = False):
+    """Assemble a logically-global sharded Batch from per-host rows.
+
+    flat=True shards the rows over BOTH mesh axes (flat data
+    parallelism, parallel/embedding.py) — valid because the mesh's
+    device array is process-major, so each host's contiguous row block
+    lands on its own devices either way."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("data"))
+    from clsr_tpu.parallel.embedding import batch_axes
+
+    sharding = NamedSharding(mesh, P(batch_axes(flat)))
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(
             sharding, np.asarray(x)),
         host_batch)
+
+
+def global_state_from_replicas(state, mesh, shard_embeddings: bool = False):
+    """Place an (identical-on-every-process) TrainState onto the global
+    mesh: every process holds the full value of every leaf, so each
+    sharding's global slice can be cut locally
+    (jax.make_array_from_callback)."""
+    from clsr_tpu.parallel.mesh import state_sharding
+
+    shardings = state_sharding(state, mesh, shard_embeddings)
+
+    def put(x, s):
+        if hasattr(x, "shape"):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx: arr[idx])
+        return x
+
+    return jax.tree_util.tree_map(put, state, shardings,
+                                  is_leaf=lambda x: x is None)

@@ -42,26 +42,33 @@ def make_global_batch(B, L, n_items, n_cates, n_users, seed):
     )
 
 
-def worker_config(n_data: int):
+def worker_config(n_data: int, mode: str = "dp"):
     """Tiny GRU4Rec config shared by the workers and the single-process
-    reference run in the parent test."""
+    reference run in the parent test.  mode='mesh_compact' switches to
+    the full production machinery: row-sharded tables over a 2-wide
+    'model' axis, lazyadam + mesh-compact/pmn, flat batch sharding."""
     from clsr_tpu.config import Config
+    kw = {}
+    if mode == "mesh_compact":
+        kw = dict(optimizer="lazyadam", model_parallel=2,
+                  embed_l2=1e-4, is_clip_norm=1, max_grad_norm=0.5)
     return Config(
         model_type="gru4rec", user_vocab="u", item_vocab="i",
         cate_vocab="c", item_embedding_dim=8, cate_embedding_dim=4,
         hidden_size=12, max_seq_length=8, batch_size=16, train_num_ngs=2,
         layer_sizes=(8,), activation=("relu",), enable_bn=False,
         seed=0, show_step=0, save_model=False,
-        data_parallel=n_data, train_steps_per_call=1,
+        data_parallel=n_data, train_steps_per_call=1, **kw
     ).validate()
 
 
 def run(num_procs: int, proc_id: int, port: int, out_dir: str,
-        n_steps: int = 4):
+        n_steps: int = 4, mode: str = "dp"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
     from clsr_tpu.parallel.distributed import (global_batch_from_host_shards,
+                                               global_state_from_replicas,
                                                host_batch_slice,
                                                initialize_distributed)
     initialize_distributed(
@@ -70,37 +77,34 @@ def run(num_procs: int, proc_id: int, port: int, out_dir: str,
     assert jax.process_count() == num_procs
     n_dev = len(jax.devices())
 
-    import numpy as np
-
     from clsr_tpu.models.registry import get_model_class
     from clsr_tpu.parallel.mesh import make_mesh, make_sharded_train_step
-    from clsr_tpu.parallel.mesh import state_sharding
     from clsr_tpu.training.state import create_train_state
 
-    cfg = worker_config(n_dev)
+    shard_emb = mode == "mesh_compact"
+    flat = shard_emb
+    n_model = 2 if shard_emb else 1
+    cfg = worker_config(n_dev // n_model, mode)
     n_items, n_cates, n_users = 50, 10, 20
     model = get_model_class("gru4rec")(
         cfg=cfg, n_users=n_users, n_items=n_items, n_cates=n_cates)
-    mesh = make_mesh(n_dev, 1)
+    mesh = make_mesh(n_dev // n_model, n_model)
 
     B = cfg.batch_size
     sample = make_global_batch(B, cfg.max_seq_length, n_items, n_cates,
                                n_users, seed=0)
     state = create_train_state(model, cfg, sample)
 
-    # place the (replicated) state on the GLOBAL mesh: every leaf is
-    # identical on every process, so process-local data == global data
-    shardings = state_sharding(state, mesh, shard_embeddings=False)
-
-    def put(x, s):
-        if hasattr(x, "shape"):
-            return jax.make_array_from_process_local_data(s, np.asarray(x))
-        return x
-
-    gstate = jax.tree_util.tree_map(put, state, shardings,
-                                    is_leaf=lambda x: x is None)
+    # every leaf is identical on every process, so each process can cut
+    # any sharding's global slices locally.  In mesh_compact mode the
+    # 2x2 mesh puts 'model' within each process (like ICI-local tensor
+    # parallelism on a real pod) and 'data' across the process boundary
+    # — the row-update's (ids, grads) all_gather and the dense psums
+    # cross processes.
+    gstate = global_state_from_replicas(state, mesh, shard_emb)
     step_fn = make_sharded_train_step(model, cfg, mesh, state,
-                                      shard_embeddings=False)
+                                      shard_embeddings=shard_emb,
+                                      flat_batch=flat)
 
     losses = []
     for k in range(n_steps):
@@ -108,7 +112,7 @@ def run(num_procs: int, proc_id: int, port: int, out_dir: str,
                                    n_users, seed=100 + k)
         lo, hi = host_batch_slice(B)
         host_shard = jax.tree_util.tree_map(lambda x: x[lo:hi], gbatch)
-        sbatch = global_batch_from_host_shards(host_shard, mesh)
+        sbatch = global_batch_from_host_shards(host_shard, mesh, flat=flat)
         gstate, parts = step_fn(gstate, sbatch, jax.random.PRNGKey(k))
         losses.append(float(jax.device_get(parts.loss)))
 
@@ -119,4 +123,5 @@ def run(num_procs: int, proc_id: int, port: int, out_dir: str,
 
 if __name__ == "__main__":
     port, num_procs, proc_id = (int(a) for a in sys.argv[1:4])
-    run(num_procs, proc_id, port, sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
+    run(num_procs, proc_id, port, sys.argv[4], mode=mode)

@@ -28,7 +28,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mode", ["dp", "mesh_compact"])
+def test_two_process_training_matches_single_process(tmp_path, mode):
+    """mode='dp': replicated params, psum over the process boundary.
+    mode='mesh_compact': the production machinery — row-sharded tables
+    (pmn) on a 2x2 mesh, lazyadam mesh-compact updates, flat batch —
+    with 'data' crossing the process boundary."""
     port = _free_port()
     env = dict(
         os.environ,
@@ -38,7 +43,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), "2", str(i), str(tmp_path)],
+            [sys.executable, WORKER, str(port), "2", str(i), str(tmp_path),
+             mode],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
@@ -71,21 +77,25 @@ def test_two_process_training_matches_single_process(tmp_path):
     from clsr_tpu.training.state import create_train_state
     from tests.distributed_worker import make_global_batch, worker_config
 
-    cfg = worker_config(n_data=4)
+    shard_emb = mode == "mesh_compact"
+    flat = shard_emb
+    n_model = 2 if shard_emb else 1
+    cfg = worker_config(n_data=4 // n_model, mode=mode)
     n_items, n_cates, n_users = 50, 10, 20
     model = get_model_class("gru4rec")(
         cfg=cfg, n_users=n_users, n_items=n_items, n_cates=n_cates)
-    mesh = make_mesh(4, 1, devices=jax.devices("cpu")[:4])
+    mesh = make_mesh(4 // n_model, n_model, devices=jax.devices("cpu")[:4])
     sample = make_global_batch(16, cfg.max_seq_length, n_items, n_cates,
                                n_users, seed=0)
     state = create_train_state(model, cfg, sample)
-    sstate = place_state(state, mesh)
-    step_fn = make_sharded_train_step(model, cfg, mesh, state)
+    sstate = place_state(state, mesh, shard_emb)
+    step_fn = make_sharded_train_step(model, cfg, mesh, state, shard_emb,
+                                      flat)
     ref = []
     for k in range(len(losses[0])):
         batch = make_global_batch(16, cfg.max_seq_length, n_items, n_cates,
                                   n_users, seed=100 + k)
-        sstate, parts = step_fn(sstate, shard_batch(batch, mesh),
+        sstate, parts = step_fn(sstate, shard_batch(batch, mesh, flat),
                                 jax.random.PRNGKey(k))
         ref.append(float(jax.device_get(parts.loss)))
     np.testing.assert_allclose(losses[0], ref, rtol=1e-5, atol=1e-6)
