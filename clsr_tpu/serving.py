@@ -98,16 +98,21 @@ class ScoringService:
                                                 make_sharded_eval_step,
                                                 place_state, shard_batch)
             self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
-            self._n_data = cfg.data_parallel
             shard_emb = cfg.model_parallel > 1
+            n_dev = cfg.data_parallel * cfg.model_parallel
+            # flat data parallelism (parallel/embedding.py): request rows
+            # shard over ALL devices, not just the 'data' axis
+            flat = (cfg.mesh_flat_batch == "on"
+                    or (cfg.mesh_flat_batch == "auto" and shard_emb))
+            self._n_data = n_dev if flat else cfg.data_parallel
             base_state = self.state
             self.state = place_state(base_state, self._mesh, shard_emb)
             inner = make_sharded_eval_step(self.model, cfg, self._mesh,
-                                           base_state, shard_emb)
+                                           base_state, shard_emb, flat)
             mesh = self._mesh
 
             def sharded_step(state, batch):
-                return inner(state, shard_batch(batch, mesh))
+                return inner(state, shard_batch(batch, mesh, flat))
 
             self._eval_step = sharded_step
         else:
