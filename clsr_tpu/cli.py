@@ -80,6 +80,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--mesh_flat_batch", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="shard the batch over BOTH mesh axes "
+                        "(parallel/embedding.py flat mode)")
     p.add_argument("--optimizer", default=None,
                    help="override the YAML optimizer (adam/lazyadam/"
                         "adagrad/ftrl/padagrad/pgd/...)")
@@ -172,6 +176,7 @@ def make_config(args) -> "Config":
         summaries_dir=summary_dir,
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
+        mesh_flat_batch=args.mesh_flat_batch,
         resident_data=args.resident_data,
         **{k: getattr(args, k) for k in
            ("optimizer", "train_steps_per_call", "compute_dtype",

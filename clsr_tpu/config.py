@@ -337,6 +337,12 @@ class Config:
             raise ValueError(
                 f"mesh_flat_batch must be auto/on/off, "
                 f"got {self.mesh_flat_batch}")
+        n_dev = self.data_parallel * self.model_parallel
+        if (self.mesh_flat_batch == "on" and self.batch_size % n_dev):
+            raise ValueError(
+                f"mesh_flat_batch='on' needs batch_size divisible by "
+                f"data_parallel*model_parallel ({self.batch_size} % "
+                f"{n_dev} != 0)")
         if self.compact_rows not in ("auto", "off"):
             raise ValueError(
                 f"compact_rows must be auto/off, got {self.compact_rows}")

@@ -44,6 +44,21 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def resolve_flat_batch(cfg: Config, pads_rows: bool = False) -> bool:
+    """The ONE flat-batch enablement rule (config `mesh_flat_batch`):
+    'on' forces it (validate() already checked divisibility), 'auto'
+    turns it on when tables are sharded (model_parallel > 1) and the
+    batch rows divide d*m — callers that pad request rows to a multiple
+    themselves (serving) pass pads_rows=True."""
+    if cfg.mesh_flat_batch == "off":
+        return False
+    shard_emb = cfg.model_parallel > 1
+    n_dev = cfg.data_parallel * cfg.model_parallel
+    if cfg.mesh_flat_batch == "on":
+        return True
+    return shard_emb and (pads_rows or cfg.batch_size % n_dev == 0)
+
+
 def batch_sharding(mesh: Mesh, flat: bool = False) -> Batch:
     """A Batch-shaped pytree of NamedShardings: all leaves sharded on
     rows — over 'data' only, or over BOTH axes (flat data parallelism,

@@ -96,14 +96,16 @@ class ScoringService:
             # span a slice: rows over 'data', tables over 'model'
             from clsr_tpu.parallel.mesh import (make_mesh,
                                                 make_sharded_eval_step,
-                                                place_state, shard_batch)
+                                                place_state,
+                                                resolve_flat_batch,
+                                                shard_batch)
             self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
             shard_emb = cfg.model_parallel > 1
             n_dev = cfg.data_parallel * cfg.model_parallel
             # flat data parallelism (parallel/embedding.py): request rows
-            # shard over ALL devices, not just the 'data' axis
-            flat = (cfg.mesh_flat_batch == "on"
-                    or (cfg.mesh_flat_batch == "auto" and shard_emb))
+            # shard over ALL devices, not just the 'data' axis (the
+            # service pads request rows to _n_data, so pads_rows=True)
+            flat = resolve_flat_batch(cfg, pads_rows=True)
             self._n_data = n_dev if flat else cfg.data_parallel
             base_state = self.state
             self.state = place_state(base_state, self._mesh, shard_emb)

@@ -358,22 +358,17 @@ def make_lazy_optimizer(cfg: Config):
         )(mn, gw, plan.sorted_ids, plan.gperm, plan.gseg, t)
         return param, new_mn
 
-    def compact_mesh_update_fn(mesh, params, dense_grads, gws,
-                               state: LazyAdamState, plans, table_names,
-                               flat=False):
-        """Mesh twin of compact_update_fn: per-table mesh-compact row
-        updates + the flattened dense Adam (dense grads arrive already
-        psum'd over the batch axes by GSPMD)."""
+    def finish_update(params, dense_grads, state, per_table):
+        """Shared tail of every update variant: run `per_table(path,
+        param, moments, t)` over the tables, then the flattened dense
+        Adam, and rebuild (params, LazyAdamState)."""
         p_tables, p_dense = _split(params)
         count = state.count + 1
         t = count.astype(jnp.float32)
 
         new_tables, new_moments = {}, {}
         for path, param in p_tables.items():
-            name = table_names[path]
-            p_new, mn_new = compact_table_update_mesh(
-                mesh, param, gws[name], state.moments[path],
-                plans[name], t, flat=flat)
+            p_new, mn_new = per_table(path, param, state.moments[path], t)
             new_tables[path] = p_new
             new_moments[path] = mn_new
 
@@ -386,6 +381,19 @@ def make_lazy_optimizer(cfg: Config):
         new_params = flax.traverse_util.unflatten_dict(merged)
         return new_params, LazyAdamState(
             moments=new_moments, count=count, dense_opt=new_dense_opt)
+
+    def compact_mesh_update_fn(mesh, params, dense_grads, gws,
+                               state: LazyAdamState, plans, table_names,
+                               flat=False):
+        """Mesh twin of compact_update_fn: per-table mesh-compact row
+        updates + the flattened dense Adam (dense grads arrive already
+        psum'd over the batch axes by GSPMD)."""
+        def per_table(path, param, mn, t):
+            name = table_names[path]
+            return compact_table_update_mesh(
+                mesh, param, gws[name], mn, plans[name], t, flat=flat)
+
+        return finish_update(params, dense_grads, state, per_table)
 
     def compact_update_fn(params, dense_grads, gws, state: LazyAdamState,
                           plans, ws, table_names):
@@ -394,40 +402,21 @@ def make_lazy_optimizer(cfg: Config):
         dense_grads: flat {path: grad} for non-table params;
         gws: {table_name: dL/dw [M, D]}; plans/ws per compact_rows.py.
         """
-        p_tables, p_dense = _split(params)
-        count = state.count + 1
-        t = count.astype(jnp.float32)
-
-        new_tables, new_moments = {}, {}
-        for path, param in p_tables.items():
+        def per_table(path, param, mn, t):
             name = table_names[path]
-            p_new, mn_new = compact_table_update(
-                param, ws[name], gws[name], state.moments[path],
-                plans[name], t)
-            new_tables[path] = p_new
-            new_moments[path] = mn_new
+            return compact_table_update(
+                param, ws[name], gws[name], mn, plans[name], t)
 
-        updates, new_dense_opt = dense_tx.update(
-            dense_grads, state.dense_opt, p_dense)
-        new_dense = optax.apply_updates(p_dense, updates)
-
-        merged = dict(new_dense)
-        merged.update(new_tables)
-        new_params = flax.traverse_util.unflatten_dict(merged)
-        return new_params, LazyAdamState(
-            moments=new_moments, count=count, dense_opt=new_dense_opt)
+        return finish_update(params, dense_grads, state, per_table)
 
     def update_fn(params, grads, state: LazyAdamState, table_ids):
-        from clsr_tpu.parallel.embedding import active_mesh
+        from clsr_tpu.parallel.embedding import (active_flat_batch,
+                                                 active_mesh)
 
-        p_tables, p_dense = _split(params)
         g_tables, g_dense = _split(grads)
-        count = state.count + 1
-        t = count.astype(jnp.float32)
         mesh = active_mesh()
 
-        new_tables, new_moments = {}, {}
-        for path, param in p_tables.items():
+        def per_table(path, param, mn, t):
             name = str(path[-1])
             ids = table_ids.get(name)
             if ids is None:
@@ -435,25 +424,12 @@ def make_lazy_optimizer(cfg: Config):
                     f"lazyadam: no touched-row mapping for table {name}")
             if (mesh is not None
                     and param.shape[0] % mesh.shape["model"] == 0):
-                from clsr_tpu.parallel.embedding import active_flat_batch
-                p_new, mn_new = table_update_sharded(
-                    mesh, param, g_tables[path], state.moments[path],
-                    ids, t, flat=active_flat_batch())
-            else:
-                p_new, mn_new = table_update(
-                    param, g_tables[path], state.moments[path], ids, t)
-            new_tables[path] = p_new
-            new_moments[path] = mn_new
+                return table_update_sharded(
+                    mesh, param, g_tables[path], mn, ids, t,
+                    flat=active_flat_batch())
+            return table_update(param, g_tables[path], mn, ids, t)
 
-        updates, new_dense_opt = dense_tx.update(
-            g_dense, state.dense_opt, p_dense)
-        new_dense = optax.apply_updates(p_dense, updates)
-
-        merged = dict(new_dense)
-        merged.update(new_tables)
-        new_params = flax.traverse_util.unflatten_dict(merged)
-        return new_params, LazyAdamState(
-            moments=new_moments, count=count, dense_opt=new_dense_opt)
+        return finish_update(params, g_dense, state, per_table)
 
     update_fn.compact = compact_update_fn
     update_fn.compact_mesh = compact_mesh_update_fn

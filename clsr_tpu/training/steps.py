@@ -39,6 +39,35 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
     use_compact = (cfg.optimizer == "lazyadam" and not per_position
                    and getattr(cfg, "compact_rows", "auto") != "off")
 
+    def compact_loss_fn(state, batch, rng_drop, tables, plans, ctx_factory):
+        """Shared loss closure for both compact engines: tables are
+        non-differentiated (lookups come from the compact ws), the
+        engine context is installed via ctx_factory(ws_in)."""
+        import flax.traverse_util as tu
+
+        from clsr_tpu.training.compact_rows import use_compact_rows
+
+        def loss_fn(dense_flat, ws_in):
+            merged = dict(dense_flat)
+            merged.update(tables)          # tables: non-differentiated
+            params = tu.unflatten_dict(merged)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            with use_compact_rows(ctx_factory(plans, ws_in)):
+                (logits, aux), mutated = state.apply_fn(
+                    variables, batch, train=True,
+                    rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"])
+            parts = total_loss(cfg, logits, aux, batch, params)
+            stats = mutated.get("batch_stats", state.batch_stats)
+            if not stats:
+                # no BN in the model: apply() hands back an empty plain
+                # dict while the state holds an empty FrozenDict — keep
+                # the carry pytree structure stable for lax.scan
+                stats = state.batch_stats
+            return parts.loss, (parts, stats)
+
+        return loss_fn
+
     def compact_step(state: TrainState, batch: Batch, rng_drop, table_names):
         """Compact row engine path (training/compact_rows.py): one sorted
         gather per table, backward in w-space, sorted+unique row writes.
@@ -53,8 +82,7 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
         import flax.traverse_util as tu
 
         from clsr_tpu.training.compact_rows import (build_plans, gather_ws,
-                                                    make_context,
-                                                    use_compact_rows)
+                                                    make_context)
         from clsr_tpu.training.lazy_adam import is_pmn
 
         flat = tu.flatten_dict(state.params)
@@ -73,22 +101,8 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
             ws_full = None
             ws = gather_ws(tables, table_names, plans)
 
-        def loss_fn(dense_flat, ws_in):
-            merged = dict(dense_flat)
-            merged.update(tables)          # tables: non-differentiated
-            params = tu.unflatten_dict(merged)
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            with use_compact_rows(make_context(plans, ws_in)):
-                (logits, aux), mutated = state.apply_fn(
-                    variables, batch, train=True,
-                    rngs={"dropout": rng_drop},
-                    mutable=["batch_stats"])
-            parts = total_loss(cfg, logits, aux, batch, params)
-            stats = mutated.get("batch_stats", state.batch_stats)
-            if not stats:
-                stats = state.batch_stats
-            return parts.loss, (parts, stats)
-
+        loss_fn = compact_loss_fn(state, batch, rng_drop, tables, plans,
+                                  make_context)
         (g_dense, gws), (parts, new_stats) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True)(dense, ws)
         new_params, new_opt = lazy_update.compact(
@@ -106,7 +120,6 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
         updates on the owning model shards.  pmn layout only."""
         import flax.traverse_util as tu
 
-        from clsr_tpu.training.compact_rows import use_compact_rows
         from clsr_tpu.training.mesh_compact import (build_mesh_plans,
                                                     gather_mesh_ws,
                                                     make_mesh_context)
@@ -124,22 +137,8 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
               ws_full[table_names[p]][:, :, :v.shape[1]].astype(v.dtype)
               for p, v in tables.items()}
 
-        def loss_fn(dense_flat, ws_in):
-            merged = dict(dense_flat)
-            merged.update(tables)          # tables: non-differentiated
-            params = tu.unflatten_dict(merged)
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            with use_compact_rows(make_mesh_context(plans, ws_in)):
-                (logits, aux), mutated = state.apply_fn(
-                    variables, batch, train=True,
-                    rngs={"dropout": rng_drop},
-                    mutable=["batch_stats"])
-            parts = total_loss(cfg, logits, aux, batch, params)
-            stats = mutated.get("batch_stats", state.batch_stats)
-            if not stats:
-                stats = state.batch_stats
-            return parts.loss, (parts, stats)
-
+        loss_fn = compact_loss_fn(state, batch, rng_drop, tables, plans,
+                                  make_mesh_context)
         (g_dense, gws), (parts, new_stats) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True)(dense, ws)
         new_params, new_opt = lazy_update.compact_mesh(

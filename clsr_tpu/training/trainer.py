@@ -48,13 +48,12 @@ class Trainer:
             from clsr_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                                 make_sharded_eval_step,
                                                 make_sharded_train_step,
-                                                place_state, shard_batch)
+                                                place_state,
+                                                resolve_flat_batch,
+                                                shard_batch)
             self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
             shard_emb = cfg.model_parallel > 1
-            n_dev = cfg.data_parallel * cfg.model_parallel
-            flat = (cfg.mesh_flat_batch == "on"
-                    or (cfg.mesh_flat_batch == "auto" and shard_emb
-                        and cfg.batch_size % n_dev == 0))
+            flat = resolve_flat_batch(cfg)
             self._flat_batch = flat
             base_state = self.state
             self.state = place_state(base_state, self._mesh, shard_emb)

@@ -58,14 +58,14 @@ def main():
         prog = jax.jit(prog)
         times = []
         out = None
-        for c in range(args.calls + 4):
+        for c in range(args.calls + 6):
             key = jax.random.PRNGKey(c)
             t0 = time.perf_counter()
             out = prog(key, *operands)
             out.block_until_ready()
             if c == 0:
                 force_sync_dispatch()
-            if c >= 4:
+            if c >= 6:   # repo convention: >=6 warmup calls (CLAUDE.md)
                 times.append(time.perf_counter() - t0)
         med = float(np.median(times)) / K
         print(f"{label:30s} {med * 1e3:7.3f}ms/app "
@@ -154,17 +154,17 @@ def main():
     if "mmcat" in sel:
         timeit("D matmul concat", reps(matmul_concat), h0, xcat)
 
-    def grad_of(f, nargs):
+    def grad_of(f):
         def g(eps, h0, *ops):
             val, grads = jax.value_and_grad(
                 lambda h: f(eps, h, *ops))(h0)
             return val + 0.0 * jnp.sum(grads)
         return g
     if "gmm6" in sel:
-        timeit("E grad matmul 6 inputs", reps(grad_of(matmul_split, 6)),
+        timeit("E grad matmul 6 inputs", reps(grad_of(matmul_split)),
                h0, *xs)
     if "gmmcat" in sel:
-        timeit("E grad matmul concat", reps(grad_of(matmul_concat, 1)),
+        timeit("E grad matmul concat", reps(grad_of(matmul_concat)),
                h0, xcat)
 
 
