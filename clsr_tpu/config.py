@@ -247,6 +247,10 @@ class Config:
                                       # backward saves carries + input
                                       # slices only (f32 grad -28%,
                                       # bf16 -34% at Kuaishou shapes)
+    scan_custom_vjp: bool = False     # hand-shaped scan backward
+                                      # (ops/fused_clsr._bd_scan): one
+                                      # carry residual/step, weight
+                                      # grads hoisted out of the loop
     # K steps per dispatch (steps.py:make_multi_train_step).  Amortizes
     # per-dispatch overhead (~25ms/call under the dev relay's sync mode
     # — utils/device.py); tail batches run single-step, so no examples

@@ -134,6 +134,7 @@ class CLSRModel(SequentialModelBase):
                 unroll=cfg.scan_unroll,
                 concat_scan_inputs=cfg.scan_concat_inputs,
                 remat_body=cfg.scan_remat_body,
+                custom_vjp_scan=cfg.scan_custom_vjp,
                 name="fused_encoders",
             )(hist, batch.time_from_first, batch.time_to_now, mask,
               user_short)

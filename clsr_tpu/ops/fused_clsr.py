@@ -27,8 +27,139 @@ import jax.numpy as jnp
 
 from typing import Optional
 
+import functools
+
 from clsr_tpu.ops.initializers import tf1_glorot_uniform
 from clsr_tpu.ops.rnn import _cast, _f32, _to_batch_major, _to_time_major
+
+
+def _bd_step(carry, inp, Wg, Wc, g1_bc, g2_bc, U, H, dt):
+    """One blockdiag fused step on a CONCATENATED input slice.
+
+    Same math as FusedCLSREncoder._scan_blockdiag's body (kept in sync
+    there via the differential tests); factored out so the custom-VJP
+    scan below can re-derive per-step adjoints with jax.vjp."""
+    h1, c, m, h2 = carry
+    GW = 2 * U + 6 * H
+    CW = U + H
+    o1 = GW + CW
+    xg_t = inp[:, :GW]
+    xc_t = inp[:, GW:o1]
+    tn_t = inp[:, o1:o1 + H]
+    tl_t = inp[:, o1 + H:o1 + 2 * H]
+    ot_t = inp[:, o1 + 2 * H:o1 + 3 * H]
+    mt = inp[:, o1 + 3 * H].astype(jnp.float32)[:, None]
+
+    Z = jnp.concatenate([h1, m, h2], axis=-1)
+    ga = _f32(xg_t + _cast(Z, dt) @ Wg, dt)
+    r1, u1 = jnp.split(jax.nn.sigmoid(ga[:, :2 * U]), 2, axis=-1)
+    i, j, f, o = jnp.split(ga[:, 2 * U:2 * U + 4 * H], 4, axis=-1)
+    r2, u2 = jnp.split(jax.nn.sigmoid(ga[:, 2 * U + 4 * H:]), 2, axis=-1)
+
+    o = o + _f32(ot_t, dt)
+    c_new = (jax.nn.sigmoid(f + 1.0) * jax.nn.sigmoid(_f32(tl_t, dt)) * c
+             + jax.nn.sigmoid(i) * jax.nn.sigmoid(_f32(tn_t, dt))
+             * jnp.tanh(j))
+    m_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c = mt * c_new + (1.0 - mt) * c
+    m = mt * m_new + (1.0 - mt) * m
+
+    Zc = jnp.concatenate([r1 * h1, r2 * h2], axis=-1)
+    ca = _f32(xc_t + _cast(Zc, dt) @ Wc, dt)
+    cand1 = jnp.tanh(ca[:, :U] + g1_bc)
+    h1n = u1 * h1 + (1.0 - u1) * cand1
+    h1 = mt * h1n + (1.0 - mt) * h1
+    cand2 = jnp.tanh(ca[:, U:] + g2_bc)
+    h2n = u2 * h2 + (1.0 - u2) * cand2
+    h2 = mt * h2n + (1.0 - mt) * h2
+
+    return (h1, c, m, h2), mt * m_new
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _bd_scan(U, H, dt, xs, carry0, Wg, Wc, g1_bc, g2_bc):
+    """Blockdiag scan with a hand-shaped backward (scripts/
+    bench_scan_overhead.py: the scan is per-iteration-latency-bound, so
+    the backward's cost is set by how many stacked arrays it touches
+    per step):
+
+      * forward saves ONE concatenated [B, U+3H] carry residual per
+        step (autodiff-of-checkpointed-body saves the 4 carry leaves +
+        an input copy = 5);
+      * the reverse scan derives per-step adjoints with jax.vjp of
+        `_bd_step` (no hand-written cell math) but closes over Wg/Wc,
+        so NO weight-gradient matmuls run inside the loop;
+      * dWg/dWc are recovered OUTSIDE the loop from the identity
+        d(Z@Wg) = d(xg_t) (they enter additively): each is one big
+        [U+2H, L*B] x [L*B, GW] MXU pass over the stacked input
+        cotangents, with Zc's gates recomputed vectorized.
+
+    Returns (h1_final, h2_final, outs_time_major)."""
+    def body(carry, x_t):
+        return _bd_step(carry, x_t, Wg, Wc, g1_bc, g2_bc, U, H, dt)
+
+    (h1, _, _, h2), outs = jax.lax.scan(body, carry0, xs)
+    return h1, h2, outs
+
+
+def _bd_scan_fwd(U, H, dt, xs, carry0, Wg, Wc, g1_bc, g2_bc):
+    def body(carry, x_t):
+        new_c, out = _bd_step(carry, x_t, Wg, Wc, g1_bc, g2_bc, U, H, dt)
+        return new_c, (out, jnp.concatenate(carry, axis=-1))
+
+    (h1, _, _, h2), (outs, carries) = jax.lax.scan(body, carry0, xs)
+    return (h1, h2, outs), (xs, carries, Wg, Wc, g1_bc, g2_bc)
+
+
+def _bd_scan_bwd(U, H, dt, res, cts):
+    xs, carries, Wg, Wc, g1_bc, g2_bc = res
+    dh1, dh2, douts = cts
+    B = carries.shape[1]
+    zero = jnp.zeros((B, H), jnp.float32)
+    GW = 2 * U + 6 * H
+    CW = U + H
+
+    def split_carry(cat):
+        return (cat[:, :U], cat[:, U:U + H],
+                cat[:, U + H:U + 2 * H], cat[:, U + 2 * H:])
+
+    def body(acc, inp):
+        dcarry, db1, db2 = acc
+        x_t, carry_cat, dout_t = inp
+        carry_in = split_carry(carry_cat)
+
+        def f(c_in, x, b1, b2):
+            return _bd_step(c_in, x, Wg, Wc, b1, b2, U, H, dt)
+
+        _, vjp_fn = jax.vjp(f, carry_in, x_t, g1_bc, g2_bc)
+        dcarry_in, dx_t, db1_t, db2_t = vjp_fn((dcarry, dout_t))
+        return (dcarry_in, db1 + db1_t, db2 + db2_t), dx_t
+
+    acc0 = ((dh1, zero, zero, dh2),
+            jnp.zeros_like(g1_bc), jnp.zeros_like(g2_bc))
+    (dcarry0, db1, db2), dxs = jax.lax.scan(
+        body, acc0, (xs, carries, douts), reverse=True)
+
+    # hoisted weight grads: xg/xc enter the pre-cast sums additively, so
+    # the stacked input cotangents ARE the matmul-output cotangents
+    Z = jnp.concatenate(
+        [carries[..., :U], carries[..., U + H:U + 2 * H],
+         carries[..., U + 2 * H:]], axis=-1)
+    Zdt = _cast(Z, dt)
+    dWg = jnp.einsum("lbz,lbk->zk", Zdt, dxs[..., :GW],
+                     preferred_element_type=jnp.float32).astype(Wg.dtype)
+    ga = _f32(xs[..., :GW] + Zdt @ Wg, dt)
+    r1 = jax.nn.sigmoid(ga[..., :U])
+    r2 = jax.nn.sigmoid(ga[..., 2 * U + 4 * H:2 * U + 5 * H])
+    Zc = _cast(jnp.concatenate(
+        [r1 * carries[..., :U], r2 * carries[..., U + 2 * H:]], axis=-1),
+        dt)
+    dWc = jnp.einsum("lbz,lbk->zk", Zc, dxs[..., GW:GW + CW],
+                     preferred_element_type=jnp.float32).astype(Wc.dtype)
+    return dxs, dcarry0, dWg, dWc, db1, db2
+
+
+_bd_scan.defvjp(_bd_scan_fwd, _bd_scan_bwd)
 
 
 class FusedCLSREncoder(nn.Module):
@@ -73,6 +204,13 @@ class FusedCLSREncoder(nn.Module):
     # (scripts/bench_scan.py, Kuaishou shapes): grad -28% f32 / -34%
     # bf16 — default on.
     remat_body: bool = True
+    # hand-shaped custom VJP for the blockdiag scan (_bd_scan): one
+    # concatenated carry residual per step, per-step adjoints via
+    # jax.vjp of the shared step, weight grads hoisted out of the
+    # reverse loop as two big MXU matmuls.  Identical math; requires
+    # concat_scan_inputs.  Measured-before-default: see bench_scan.py
+    # f32cv/bf16cv variants.
+    custom_vjp_scan: bool = False
 
     @nn.compact
     def __call__(self, hist: jnp.ndarray, t_last: jnp.ndarray,
@@ -293,6 +431,11 @@ class FusedCLSREncoder(nn.Module):
                 [xgates, xcands, tn_state, tl_state, o_time,
                  mask[..., None].astype(xgates.dtype)], axis=-1)
             xs = _to_time_major(cat)
+            if self.custom_vjp_scan and self.unroll == 1:
+                h1_f, h2_f, outs = _bd_scan(
+                    U, H, dt, xs, (h1_0, c0, m0, h2_0),
+                    Wg, Wc, g1_bc, g2_bc)
+                return h1_f, _to_batch_major(outs), h2_f
         else:
             xs = (tuple(_to_time_major(x) for x in
                         (xgates, xcands, tn_state, tl_state, o_time))

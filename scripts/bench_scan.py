@@ -48,11 +48,12 @@ def main():
     user_short = jnp.asarray(rng.randn(B, U).astype(np.float32) * 0.1)
 
     def bench(label, dtype, unroll, blockdiag, mode, remat=False,
-              concat=True, remat_body=False):
+              concat=True, remat_body=False, custom_vjp=False):
         mod = FusedCLSREncoder(U, H, dtype=dtype, unroll=unroll,
                                fuse_cell_matmuls=blockdiag,
                                concat_scan_inputs=concat,
-                               remat_body=remat_body)
+                               remat_body=remat_body,
+                               custom_vjp_scan=custom_vjp)
         variables = mod.init(jax.random.PRNGKey(0), hist, t_last, t_now,
                              mask, user_short)
 
@@ -97,8 +98,11 @@ def main():
 
     # each variant is a separate ~5-10min TPU compile through the relay —
     # select what you pay for
-    # (dtype, unroll, blockdiag, remat_whole_encoder, concat, remat_body)
+    # (dtype, unroll, blockdiag, remat_whole_encoder, concat, remat_body
+    #  [, custom_vjp])
     variants = {
+        "f32cv": (None, 1, True, False, True, False, True),
+        "bf16cv": (jnp.bfloat16, 1, True, False, True, False, True),
         "f32": (None, 1, True, False, True, False),
         "bf16": (jnp.bfloat16, 1, True, False, True, False),
         "f32nocat": (None, 1, True, False, False, False),
@@ -116,12 +120,15 @@ def main():
     }
     sel = os.environ.get("SCAN_VARIANTS", "f32,bf16").split(",")
     for name in sel:
-        dtype, unroll, blockdiag, remat, concat, remat_body = variants[name]
-        if "remat" not in name and "rb" not in name:
+        v = variants[name]
+        dtype, unroll, blockdiag, remat, concat, remat_body = v[:6]
+        custom = v[6] if len(v) > 6 else False
+        if "remat" not in name and "rb" not in name and "cv" not in name:
             bench(f"fwd  {name}", dtype, unroll, blockdiag, "fwd",
                   concat=concat, remat_body=remat_body)
         bench(f"grad {name}", dtype, unroll, blockdiag, "grad",
-              remat=remat, concat=concat, remat_body=remat_body)
+              remat=remat, concat=concat, remat_body=remat_body,
+              custom_vjp=custom)
 
 
 if __name__ == "__main__":

@@ -45,15 +45,24 @@ def test_levers_identical_forward_and_grad(dtype):
     v_ref, g_ref = jax.value_and_grad(ref_f, argnums=(0, 1))(
         variables["params"], inputs[0])
 
-    for concat, rb in ((True, False), (False, True), (True, True)):
-        mod = FusedCLSREncoder(U, H, dtype=dtype, concat_scan_inputs=concat,
-                               remat_body=rb)
+    variants = [dict(concat_scan_inputs=True, remat_body=False),
+                dict(concat_scan_inputs=False, remat_body=True),
+                dict(concat_scan_inputs=True, remat_body=True),
+                dict(concat_scan_inputs=True, custom_vjp_scan=True)]
+    for kw in variants:
+        mod = FusedCLSREncoder(U, H, dtype=dtype, **kw)
         v, g = jax.value_and_grad(loss_with(mod), argnums=(0, 1))(
             variables["params"], inputs[0])
         np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-6)
+        # the custom VJP accumulates weight grads in ONE f32 einsum;
+        # under bf16 compute, autodiff instead sums per-step bf16
+        # partials — same math, bf16-reassociation-level differences
+        # (~1 ulp abs) on the kernels
+        loose = (dtype is not None) and kw.get("custom_vjp_scan")
+        rtol, atol = (2e-2, 2e-3) if loose else (2e-5, 1e-6)
         for (pa, a), (pb, bb) in zip(
                 jax.tree_util.tree_flatten_with_path(g)[0],
                 jax.tree_util.tree_flatten_with_path(g_ref)[0]):
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(bb, np.float32),
-                rtol=2e-5, atol=1e-6, err_msg=f"{concat=} {rb=} {pa}")
+                rtol=rtol, atol=atol, err_msg=f"{kw} {pa}")
