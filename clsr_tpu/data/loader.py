@@ -204,7 +204,10 @@ class SequenceLoader:
         take = idx[:n].astype(np.int64)
         B, K = batch_rows, steps_per_call
         n_batches = -(-n // B)
-        n_calls = n_batches // K
+        # only FULL batches may enter a [K, B] stack: the final partial
+        # (zero-padded) batch must take the single-step tail path, else
+        # the stack slice runs past the epoch buffer
+        n_calls = (n // B) // K
 
         ep = self._epoch_gather(take)
         ones = np.ones(B, dtype=np.float32)

@@ -41,7 +41,21 @@ def main():
                     help="dataset seed (train seed = seed + 8)")
     ap.add_argument("--variants", default=None,
                     help="comma-separated subset of variants to run")
+    ap.add_argument("--mesh", default=None,
+                    help="DxM: run on a (data, model) mesh (e.g. 4x2 "
+                         "with the CPU XLA_FLAGS device count) — "
+                         "exercises mesh-compact + flat batch")
+    ap.add_argument("--optimizer", default=None,
+                    help="override the optimizer (lazyadam engages the "
+                         "compact/pmn row engines)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in-process (env "
+                         "JAX_PLATFORMS is not enough — CLAUDE.md)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from clsr_tpu.config import Config
     from clsr_tpu.data.loader import SequenceLoader
@@ -79,7 +93,12 @@ def main():
             train_num_ngs=4, valid_num_ngs=4, test_num_ngs=49,
             hidden_size=40, item_embedding_dim=32, cate_embedding_dim=8,
             user_embedding_dim=40, epochs=args.epochs, early_stop=4,
-            show_step=0, save_model=False, seed=args.seed + 8, **overrides,
+            show_step=0, save_model=False, seed=args.seed + 8,
+            **(dict(data_parallel=int(args.mesh.split("x")[0]),
+                    model_parallel=int(args.mesh.split("x")[1]))
+               if args.mesh else {}),
+            **(dict(optimizer=args.optimizer) if args.optimizer else {}),
+            **overrides,
         ).validate()
         model = get_model_class("clsr")(
             cfg=cfg, n_users=len(uv), n_items=len(iv), n_cates=len(cv))

@@ -131,3 +131,49 @@ def test_eval_group_shares_history(dataset):
                 ds.hist_items[ds.offsets[base]:ds.offsets[base + 1]],
                 ds.hist_items[ds.offsets[base + j]:ds.offsets[base + j + 1]],
             )
+
+
+def test_train_batches_stacked_partial_tail_batch():
+    """A partial (zero-padded) trailing batch must NOT be swallowed into
+    a [K, B] stack: with n=55, B=16, K=2 the epoch is 3 full batches +
+    one padded batch (ceil=4); the old layout put the padded batch into
+    the second K-stack and the slice ran past the epoch buffer
+    (ValueError: cannot reshape).  Full batches stack; the partial takes
+    the single-step tail path; rows and order match train_batches."""
+    import numpy as np
+
+    from clsr_tpu.data.loader import SequenceLoader
+    from clsr_tpu.data.parser import ParsedDataset
+
+    B, K, L, hl = 16, 2, 4, 2
+    n = B * 3 + 7
+    pd = ParsedDataset(
+        labels=np.ones(n, np.float32),
+        users=(np.arange(n) % 5).astype(np.int32),
+        items=(np.arange(n) % 7).astype(np.int32),
+        cates=(np.arange(n) % 3).astype(np.int32),
+        times=np.arange(n, dtype=np.float64),
+        offsets=(np.arange(n + 1) * hl).astype(np.int64),
+        hist_items=np.ones(n * hl, np.int32),
+        hist_cates=np.ones(n * hl, np.int32),
+        time_diff=np.full(n * hl, 0.5, np.float32),
+        time_from_first=np.full(n * hl, 0.5, np.float32),
+        time_to_now=np.full(n * hl, 0.5, np.float32),
+    )
+    ld = SequenceLoader(pd, L)
+    items = list(ld.train_batches_stacked(B, K, np.random.RandomState(0)))
+    stacked = [b for b in items if b.users.ndim == 2]
+    single = [b for b in items if b.users.ndim == 1]
+    assert len(stacked) == 1 and len(single) == 2
+    rows = (sum(b.users.shape[0] * b.users.shape[1] for b in stacked)
+            + sum(int(b.valid.sum()) for b in single))
+    assert rows == n
+    flat = []
+    for b in ld.train_batches(B, np.random.RandomState(0)):
+        flat.extend(np.asarray(b.users)[np.asarray(b.valid) > 0].tolist())
+    flat2 = []
+    for b in items:
+        u = np.asarray(b.users).reshape(-1)
+        v = np.asarray(np.broadcast_to(b.valid, b.users.shape)).reshape(-1)
+        flat2.extend(u[v > 0].tolist())
+    assert flat == flat2
