@@ -207,3 +207,26 @@ def test_service_rejects_oversized_request(trained):
                          checkpoint=ckpt, cand_buckets=(4,))
     with pytest.raises(ValueError, match="candidates exceeds"):
         svc.score([_req("u1", [1], list(range(1, 7)))])
+
+
+def test_int8_tables_on_mesh_match_single_device_int8(trained):
+    """int8 row-quantized tables x mesh serving (flat batch): the
+    collective gathers run on s8 rows (each id's row comes from exactly
+    one owner shard, so the integer psum/psum_scatter is exact) and
+    the scales ride the same engine — scores must equal the
+    single-device int8 service to float noise."""
+    cfg, (uv, iv, cv), ckpt, _ = trained
+    kw = dict(batch_buckets=(4,), cand_buckets=(8,), checkpoint=ckpt,
+              int8_tables=True)
+    q8 = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv, **kw)
+    mesh_cfg = cfg.replace(data_parallel=4, model_parallel=2)
+    q8m = ScoringService(mesh_cfg, len(uv), len(iv), len(cv),
+                         uv, iv, cv, **kw)
+    assert q8m._mesh is not None
+    reqs = [_req("u3", [1, 5, 9, 2], [7, 11, 3]),
+            _req("u7", [4, 4, 8], [2, 6, 10, 14, 18]),
+            _req("u9", [4, 8, 8, 2, 6], [2, 6, 10, 14])]
+    a = q8.score(reqs)
+    b = q8m.score(reqs)
+    for sa, sb in zip(a, b):
+        np.testing.assert_allclose(sb, sa, rtol=2e-5, atol=2e-6)
