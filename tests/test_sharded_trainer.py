@@ -99,3 +99,53 @@ def test_trainer_mesh_multi_step(tmp_path):
     assert trainer._mesh is not None and trainer._multi_step is not None
     trainer.fit(loaders["train"], loaders["valid"])
     assert trainer.eval_history
+
+
+def test_mesh_checkpoint_restores_on_single_device(tmp_path):
+    """Real user flow: train on a mesh (sharded pmn state), checkpoint,
+    restore into a single-device trainer — predictions must match the
+    mesh trainer's eval exactly (params are synced views at the jit
+    boundary, so what is saved is always fresh)."""
+    paths = write_synthetic_dataset(str(tmp_path / "data"), n_users=20,
+                                    n_items=40, n_cates=6, test_num_ngs=4)
+    uv, iv, cv = (load_vocab(paths["user_vocab"]),
+                  load_vocab(paths["item_vocab"]),
+                  load_vocab(paths["cate_vocab"]))
+    loaders = {
+        n: SequenceLoader(parse_file(paths[n], uv, iv, cv), L)
+        for n in ("train", "valid", "test")
+    }
+
+    def make_cfg(dp, mp):
+        return Config(
+            model_type="gru4rec", user_vocab="u", item_vocab="i",
+            cate_vocab="c", max_seq_length=L, batch_size=16,
+            train_num_ngs=2, valid_num_ngs=4, test_num_ngs=4,
+            hidden_size=8, item_embedding_dim=8, cate_embedding_dim=4,
+            user_embedding_dim=8, layer_sizes=(8,), activation=("relu",),
+            optimizer="lazyadam", enable_bn=False, epochs=1, show_step=0,
+            save_model=False, seed=0, data_parallel=dp, model_parallel=mp,
+        ).validate()
+
+    cfg = make_cfg(4, 2)
+    model = get_model_class("gru4rec")(cfg=cfg, n_users=len(uv),
+                                       n_items=len(iv), n_cates=len(cv))
+    sample = next(loaders["train"].train_batches(
+        cfg.batch_size, np.random.RandomState(0)))
+    trainer = Trainer(model, cfg, sample, log=lambda *a: None)
+    assert trainer._mesh is not None and trainer._flat_batch
+    trainer.fit(loaders["train"], loaders["valid"])
+    ckpt_dir = str(tmp_path / "ckpt")
+    trainer.save(ckpt_dir)
+
+    cfg1 = make_cfg(1, 1)
+    model1 = get_model_class("gru4rec")(cfg=cfg1, n_users=len(uv),
+                                        n_items=len(iv), n_cates=len(cv))
+    single = Trainer(model1, cfg1, sample, log=lambda *a: None)
+    single.load(ckpt_dir)
+
+    batch = next(iter(loaders["test"].eval_batches(5, 8)))
+    p_mesh, _ = trainer.eval_step(trainer.state, batch)
+    p_single, _ = single.eval_step(single.state, batch)
+    np.testing.assert_allclose(np.asarray(p_single), np.asarray(p_mesh),
+                               rtol=1e-5, atol=1e-6)
