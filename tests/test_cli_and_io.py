@@ -78,3 +78,19 @@ def test_timer():
     assert t.interval >= 0.009
     with pytest.raises(ValueError):
         Timer().stop()
+
+
+def test_cli_mesh_end_to_end(tmp_path, capsys):
+    """CLI -> Trainer mesh wiring: --data_parallel/--model_parallel on
+    the virtual CPU mesh (flat batch auto-on, mesh-compact lazyadam)."""
+    from clsr_tpu.cli import main
+    rc = main([
+        "--dataset", "synthetic", "--model", "GRU4REC", "--epochs", "1",
+        "--batch_size", "32", "--data_path", str(tmp_path),
+        "--test_num_ngs", "9", "--val_num_ngs", "4", "--show_step", "0",
+        "--seed", "1", "--data_parallel", "4", "--model_parallel", "2",
+        "--optimizer", "lazyadam",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auc" in out and "wauc" in out
