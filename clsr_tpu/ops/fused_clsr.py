@@ -208,8 +208,11 @@ class FusedCLSREncoder(nn.Module):
     # concatenated carry residual per step, per-step adjoints via
     # jax.vjp of the shared step, weight grads hoisted out of the
     # reverse loop as two big MXU matmuls.  Identical math; requires
-    # concat_scan_inputs.  Measured-before-default: see bench_scan.py
-    # f32cv/bf16cv variants.
+    # concat_scan_inputs.  MEASURED (scripts/bench_scan.py f32cv /
+    # bf16cv, B=256 L=250): f32 4.87ms = parity with remat_body
+    # (4.89), bf16 3.53ms loses 9% to remat_body (3.23) — the reverse
+    # loop still touches the same number of stacked arrays per
+    # iteration, which is the binding cost.  Stays default-off.
     custom_vjp_scan: bool = False
 
     @nn.compact
