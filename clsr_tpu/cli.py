@@ -97,6 +97,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedding_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="bfloat16 table storage (requires lazyadam)")
+    p.add_argument("--use_pallas_eval_attention", default=None,
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas eval attention scorer "
+                        "(ops/pallas_attention.py; single-device eval; "
+                        "auto = on for the TPU backend)")
     p.add_argument("--attention_block_size", type=int, default=None,
                    help=">0: blockwise long-context attention "
                         "(needs enable_bn False)")
@@ -182,6 +187,8 @@ def make_config(args) -> "Config":
            ("optimizer", "train_steps_per_call", "compute_dtype",
             "embedding_dtype", "attention_block_size")
            if getattr(args, k) is not None},
+        **({"use_pallas_eval_attention": args.use_pallas_eval_attention}
+           if args.use_pallas_eval_attention is not None else {}),
         **ds,
     )
 

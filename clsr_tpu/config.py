@@ -233,6 +233,16 @@ class Config:
                                       # for L >= 1000 histories; needs
                                       # enable_bn False (BN-free scorer)
     use_pallas_scan: bool = False     # hand-written recurrence kernel (ops/pallas_scan.py)
+    use_pallas_eval_attention: str = "auto"  # 'auto' | 'on' | 'off' —
+                                      # fused eval-mode grouped attention
+                                      # scorer kernel
+                                      # (ops/pallas_attention.py): 4.4x
+                                      # grouped-eval throughput on TPU
+                                      # (docs/RESULTS_r2.md).  'auto' =
+                                      # on for the TPU backend, off on
+                                      # CPU (interpret mode only there);
+                                      # single-device eval/serving only
+                                      # (mesh eval always uses XLA)
     scan_unroll: int = 1              # lax.scan unroll factor for the
                                       # recurrences (identical math; cuts
                                       # per-iteration loop overhead for
@@ -353,6 +363,10 @@ class Config:
         if self.resident_data not in ("auto", "on", "off"):
             raise ValueError(
                 f"resident_data must be auto/on/off, got {self.resident_data}")
+        if self.use_pallas_eval_attention not in ("auto", "on", "off"):
+            raise ValueError(
+                f"use_pallas_eval_attention must be auto/on/off, got "
+                f"{self.use_pallas_eval_attention}")
         if (self.data_parallel > 1
                 and self.batch_size % self.data_parallel != 0):
             raise ValueError(

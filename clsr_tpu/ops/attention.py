@@ -56,6 +56,30 @@ class TargetAttention(nn.Module):
         att_inputs = jnp.einsum("bld,dq->blq", keys.astype(ct),
                                 W.astype(ct))                   # [B, L, Dq]
 
+        # fused Pallas eval scorer (ops/pallas_attention.py): at the
+        # grouped-eval shape the two scorer matmuls + masked softmax +
+        # weighted sum run block-by-block in VMEM instead of streaming
+        # [B, L, G, 80/40] hidden activations through HBM.  Trace-time
+        # gate set only by the single-device eval builders.
+        from clsr_tpu.ops import pallas_attention as pa
+        if (pa.eval_attention_enabled() and not train and not return_weights
+                and not self.is_initializing()
+                and G >= 8 and len(self.layer_sizes) == 2
+                and all(self.activations[min(i, len(self.activations) - 1)]
+                        == "relu" for i in range(2))):
+            fcn_params = self.variables["params"]["att_fcn"]
+            fcn_stats = (self.variables["batch_stats"].get("att_fcn", {})
+                         if self.enable_bn else {})
+            folded = pa.fold_scorer_params(fcn_params, fcn_stats, Dq,
+                                           self.enable_bn)
+            att_fea = pa.fused_eval_attention(
+                keys.astype(jnp.float32), att_inputs.astype(jnp.float32),
+                query.astype(jnp.float32), mask.astype(jnp.float32),
+                *folded,
+                compute_dtype=("bfloat16" if self.dtype == jnp.bfloat16
+                               else None))
+            return att_fea[:, 0] if squeeze_group else att_fea
+
         # scorer over the implicit concat [k, q, k-q, k*q]: the first
         # layer is algebraically split (ops/mlp.py:SplitFirstDense) so the
         # reference's [B, G, L, 4Dq] interaction tensor (clsr.py:355-368)

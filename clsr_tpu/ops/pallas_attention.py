@@ -1,0 +1,288 @@
+"""Pallas TPU kernel: fused grouped-attention scorer for eval/serving.
+
+Reimplements the EVAL-mode forward of `TargetAttention` (which itself
+reimplements the reference `_attention_fcn`, clsr.py:343-381, with the
+`_fcn_net` scorer MLP of base_model.py:627-708) as ONE fused kernel.
+
+Why a kernel wins exactly here and nowhere else in this framework
+(docs/RESULTS_r2.md "Split-first-layer"): at the grouped-eval shape
+(1 positive + 99 negatives per impression, G=100) the scorer MLP's
+hidden activations are [B, L, G, 80] + [B, L, G, 40] — hundreds of MB
+that XLA must round-trip through HBM between the layer matmuls (it
+cannot fuse matmul->matmul chains).  In EVAL mode the BatchNorm between
+layers uses running statistics, i.e. it is a per-channel affine — so
+the whole chain
+
+    x0 = k@(Wk+Wd) + q@(Wq-Wd) + (k*q)@Wm          (SplitFirstDense)
+    y0 = relu(a0*x0 + c0)                           (bias+BN folded)
+    y1 = relu(a1*(y0@W1) + c1)
+    logit = y1 . w2                                  (+b2, softmax-inv.)
+    att = softmax_L(mask ? logit : -2^32+1) @ keys
+
+is computable block-by-block entirely in VMEM, with a streaming
+(running max / running sum) softmax over L blocks, flash-attention
+style.  Per grid step every reshape is a LEADING-dim merge/split
+([Lb, Gb, .] <-> [Lb*Gb, .]) — never a lane-dim split, which Mosaic
+would have to relayout.
+
+Train mode keeps the XLA path: train-mode BN needs batch statistics
+over the full [B, L, G] extent, which breaks blockwise locality (and
+the backward wants XLA's autodiff anyway).
+
+The final-layer bias b2 shifts every logit equally and cancels in the
+softmax, so the kernel omits it — the returned attention output is
+mathematically identical (differential-tested to float noise in
+tests/test_pallas_attention.py).
+
+Padding semantics: L is padded to the block size with mask=0 rows —
+they contribute exp(-2^32+1 - max) == 0, exactly like the reference's
+masked positions.  G is padded to the group-block size with duplicate
+query 0; the padded group rows are sliced off the output.  An
+all-masked row would differ from the reference (which softmaxes to
+uniform over the REAL L) only in including the pad positions; the
+loaders guarantee min sequence length >= 1 so the case cannot occur.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_PADDING_VALUE = -(2.0 ** 32) + 1  # clsr.py:375
+
+_state = threading.local()
+
+
+def eval_attention_enabled() -> bool:
+    """True while a single-device eval/serving step is being traced with
+    `use_pallas_eval_attention` on (steps.py:make_eval_step_fn)."""
+    return bool(getattr(_state, "enabled", False))
+
+
+@contextlib.contextmanager
+def use_eval_attention(enabled: bool):
+    """Trace-time gate for the fused eval scorer.
+
+    Only the SINGLE-DEVICE eval-step builders may enable this: a
+    pallas_call has no GSPMD partitioning rule, so the mesh eval builders
+    (parallel/mesh.py:make_sharded_eval_step) always trace with it off.
+    """
+    prev = getattr(_state, "enabled", False)
+    _state.enabled = enabled
+    try:
+        yield
+    finally:
+        _state.enabled = prev
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _scorer_kernel(q_ref, kp_ref, keys_ref, mask_ref,
+                   wk_ref, wq_ref, wm_ref, a0_ref, c0_ref,
+                   w1_ref, a1_ref, c1_ref, w2_ref,
+                   out_ref, m_s, s_s, acc_s, *, n_l: int, ct):
+    """One (b, g_block, l_block) grid step.
+
+    q_ref   [1, Gb, D]   queries for this group block
+    kp_ref  [1, Lb, D]   projected keys (keys @ attention_mat)
+    keys_ref[1, Lb, Dk]  raw keys (the weighted-sum values)
+    mask_ref[1, Lb, 1]   1.0 = valid position (pre-shaped [B, L, 1]: the
+                         comparison is born [Lb, 1] — Mosaic cannot insert
+                         a minor dim on the i1 vector a [Lb] mask produces)
+    w*_ref               folded scorer weights (see fused_eval_attention)
+    out_ref [1, Gb, Dk]  attention output block
+    m_s/s_s [1, Gb] f32  running max / sum        (scratch)
+    acc_s   [Gb, Dk] f32 running weighted values  (scratch)
+    """
+    l_idx = pl.program_id(2)
+
+    @pl.when(l_idx == 0)
+    def _init():
+        m_s[:] = jnp.full(m_s.shape, -jnp.inf, m_s.dtype)
+        s_s[:] = jnp.zeros(s_s.shape, s_s.dtype)
+        acc_s[:] = jnp.zeros(acc_s.shape, acc_s.dtype)
+
+    q = q_ref[0].astype(ct)                      # [Gb, D]
+    kp = kp_ref[0].astype(ct)                    # [Lb, D]
+    Lb, D = kp.shape
+    Gb = q.shape[0]
+
+    # first layer, split-block formulation (ops/mlp.py:SplitFirstDense)
+    tk = jnp.dot(kp, wk_ref[:].astype(ct),
+                 preferred_element_type=jnp.float32)        # [Lb, H0]
+    tq = jnp.dot(q, wq_ref[:].astype(ct),
+                 preferred_element_type=jnp.float32)        # [Gb, H0]
+    kq = kp[:, None, :] * q[None, :, :]                      # [Lb, Gb, D]
+    H0 = wm_ref.shape[1]
+    x0 = jnp.dot(kq.reshape(Lb * Gb, D), wm_ref[:].astype(ct),
+                 preferred_element_type=jnp.float32)         # [Lb*Gb, H0]
+    x0 = (x0.reshape(Lb, Gb, H0) + tk[:, None, :] + tq[None, :, :])
+    y0 = jnp.maximum(x0 * a0_ref[:] + c0_ref[:], 0.0)        # BN+bias+relu
+
+    H1 = w1_ref.shape[1]
+    x1 = jnp.dot(y0.reshape(Lb * Gb, H0).astype(ct), w1_ref[:].astype(ct),
+                 preferred_element_type=jnp.float32)         # [Lb*Gb, H1]
+    y1 = jnp.maximum(x1 * a1_ref[:] + c1_ref[:], 0.0)
+    logits = jnp.sum(y1.reshape(Lb, Gb, H1) * w2_ref[:], axis=-1)  # [Lb, Gb]
+
+    valid = mask_ref[0] > 0.0                                # [Lb, 1]
+    logits = jnp.where(valid, logits, MASK_PADDING_VALUE)
+
+    # streaming softmax over the L grid axis
+    blk_max = jnp.max(logits, axis=0, keepdims=True)         # [1, Gb]
+    m_new = jnp.maximum(m_s[:], blk_max)
+    rescale = jnp.exp(m_s[:] - m_new)                        # [1, Gb]
+    p = jnp.exp(logits - m_new)                              # [Lb, Gb]
+    s_s[:] = s_s[:] * rescale + jnp.sum(p, axis=0, keepdims=True)
+    keys = keys_ref[0].astype(jnp.float32)                   # [Lb, Dk]
+    pv = jax.lax.dot_general(p, keys, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [Gb, Dk]
+    acc_s[:] = acc_s[:] * rescale[0][:, None] + pv
+    m_s[:] = m_new
+
+    @pl.when(l_idx == n_l - 1)
+    def _finish():
+        out_ref[0] = (acc_s[:] / s_s[0][:, None]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_l", "block_g",
+                                             "compute_dtype", "interpret"))
+def fused_eval_attention(keys: jnp.ndarray, keys_proj: jnp.ndarray,
+                         query: jnp.ndarray, mask: jnp.ndarray,
+                         wk_eff: jnp.ndarray, wq_eff: jnp.ndarray,
+                         wm: jnp.ndarray,
+                         a0: jnp.ndarray, c0: jnp.ndarray,
+                         w1: jnp.ndarray, a1: jnp.ndarray, c1: jnp.ndarray,
+                         w2: jnp.ndarray,
+                         *, block_l: int = 128, block_g: int = 32,
+                         compute_dtype: Optional[str] = None,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused eval-mode grouped target attention.
+
+    keys [B, L, Dk], keys_proj [B, L, D], query [B, G, D], mask [B, L].
+    wk_eff = W0[k-block] + W0[d-block], wq_eff = W0[q-block] - W0[d-block],
+    wm = W0[m-block]  (the SplitFirstDense decomposition of the concat
+    [k, q, k-q, k*q] first layer, kernel [4D, H0]).
+    a_i / c_i: per-channel affine folding layer i's dense bias and
+    eval-mode BN (identity: a=1, c=bias).  w2 [H1]: output kernel
+    (bias omitted — softmax-invariant).
+
+    Returns att_fea [B, G, Dk] (f32).
+    """
+    B, L, Dk = keys.shape
+    _, _, D = keys_proj.shape
+    G = query.shape[1]
+    H0 = wm.shape[1]
+    H1 = w1.shape[1]
+    ct = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if interpret is None:   # CPU (tests' virtual mesh) has no Mosaic
+        interpret = jax.default_backend() == "cpu"
+
+    bl = min(block_l, max(8, L))
+    bg = min(block_g, max(8, G))
+    Lp = _cdiv(L, bl) * bl
+    Gp = _cdiv(G, bg) * bg
+    if Lp != L:
+        pad = Lp - L
+        keys = jnp.pad(keys, ((0, 0), (0, pad), (0, 0)))
+        keys_proj = jnp.pad(keys_proj, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    if Gp != G:
+        query = jnp.pad(query, ((0, 0), (0, Gp - G), (0, 0)))
+    n_l = Lp // bl
+    n_g = Gp // bg
+
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_scorer_kernel, n_l=n_l, ct=ct),
+        out_shape=jax.ShapeDtypeStruct((B, Gp, Dk), f32),
+        grid=(B, n_g, n_l),
+        in_specs=[
+            pl.BlockSpec((1, bg, D), lambda b, g, l: (b, g, 0),
+                         memory_space=pltpu.VMEM),      # query
+            pl.BlockSpec((1, bl, D), lambda b, g, l: (b, l, 0),
+                         memory_space=pltpu.VMEM),      # keys_proj
+            pl.BlockSpec((1, bl, Dk), lambda b, g, l: (b, l, 0),
+                         memory_space=pltpu.VMEM),      # keys
+            pl.BlockSpec((1, bl, 1), lambda b, g, l: (b, l, 0),
+                         memory_space=pltpu.VMEM),      # mask
+            pl.BlockSpec((D, H0), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # wk_eff
+            pl.BlockSpec((D, H0), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # wq_eff
+            pl.BlockSpec((D, H0), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # wm
+            pl.BlockSpec((1, H0), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # a0
+            pl.BlockSpec((1, H0), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # c0
+            pl.BlockSpec((H0, H1), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # w1
+            pl.BlockSpec((1, H1), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # a1
+            pl.BlockSpec((1, H1), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # c1
+            pl.BlockSpec((1, H1), lambda b, g, l: (0, 0),
+                         memory_space=pltpu.VMEM),      # w2
+        ],
+        out_specs=pl.BlockSpec((1, bg, Dk), lambda b, g, l: (b, g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, bg), f32),     # running max
+            pltpu.VMEM((1, bg), f32),     # running sum
+            pltpu.VMEM((bg, Dk), f32),    # running weighted values
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Lp * Gp * (D * H0 + H0 * H1)
+            + 2 * B * Lp * D * H0 + 2 * B * Gp * D * H0,
+            bytes_accessed=4 * B * Lp * (D + Dk) * n_g + 4 * B * Gp * D,
+            transcendentals=B * Lp * Gp,
+        ),
+        interpret=interpret,
+    )(query, keys_proj, keys, mask[:, :, None],
+      wk_eff.astype(ct), wq_eff.astype(ct), wm.astype(ct),
+      a0.reshape(1, H0).astype(f32), c0.reshape(1, H0).astype(f32),
+      w1.astype(ct),
+      a1.reshape(1, H1).astype(f32), c1.reshape(1, H1).astype(f32),
+      w2.reshape(1, H1).astype(f32))
+    return out[:, :G]
+
+
+def fold_scorer_params(fcn_params, fcn_stats, D: int, enable_bn: bool):
+    """Fold an att_fcn FcnNet's params (+ eval-mode BN stats) into the
+    kernel's (wk_eff, wq_eff, wm, a0, c0, w1, a1, c1, w2) form.
+
+    fcn_params: the FcnNet param subtree {w_nn_layer0: {kernel, bias},
+    bn0: {scale, bias}, w_nn_layer1: ..., bn1: ..., w_nn_output: ...};
+    fcn_stats: matching batch_stats subtree ({bn0: {mean, var}, ...})
+    when enable_bn.  BN epsilon 1e-4 (base_model.py:673-679).
+    """
+    k0 = fcn_params["w_nn_layer0"]["kernel"]
+    b0 = fcn_params["w_nn_layer0"]["bias"]
+    wk, wq, wd, wm = (k0[:D], k0[D:2 * D], k0[2 * D:3 * D], k0[3 * D:])
+    w1 = fcn_params["w_nn_layer1"]["kernel"]
+    b1 = fcn_params["w_nn_layer1"]["bias"]
+    w2 = fcn_params["w_nn_output"]["kernel"][:, 0]
+
+    def fold(bn_name, bias):
+        if not enable_bn:
+            return jnp.ones_like(bias), bias
+        scale = fcn_params[bn_name]["scale"]
+        shift = fcn_params[bn_name]["bias"]
+        mean = fcn_stats[bn_name]["mean"]
+        var = fcn_stats[bn_name]["var"]
+        a = scale * jax.lax.rsqrt(var + 1e-4)
+        return a, (bias - mean) * a + shift
+
+    a0, c0 = fold("bn0", b0)
+    a1, c1 = fold("bn1", b1)
+    return (wk + wd, wq - wd, wm, a0, c0, w1, a1, c1, w2)

@@ -253,7 +253,8 @@ def make_sharded_eval_step(model, cfg: Config, mesh: Mesh,
     from clsr_tpu.parallel.embedding import batch_axes, use_sharded_tables
     from clsr_tpu.training.steps import make_eval_step_fn
 
-    raw_inner = make_eval_step_fn(model, cfg)
+    # allow_pallas=False: pallas_call has no GSPMD partitioning rule
+    raw_inner = make_eval_step_fn(model, cfg, allow_pallas=False)
 
     def raw(st, batch):
         with use_sharded_tables(mesh if shard_embeddings else None,

@@ -277,16 +277,31 @@ def stack_batches(batches) -> Batch:
         lambda *xs: np.stack(xs, axis=0), *batches)
 
 
-def make_eval_step_fn(model, cfg: Config) -> Callable:
+def make_eval_step_fn(model, cfg: Config,
+                      allow_pallas: Optional[bool] = None) -> Callable:
     """The raw (unjitted) eval step: (state, batch) -> (preds, alpha).
 
     Eval mode: BN running stats, no dropout (base_model.py:366-392);
     preds = sigmoid(logit) for classification (base_model.py:89-109).
+
+    `allow_pallas` gates the fused eval attention scorer
+    (ops/pallas_attention.py); None defers to the config flag
+    ('auto' = TPU backend only — on CPU the kernel exists only in slow
+    interpret mode).  The mesh builders (parallel/mesh.py) pass False —
+    pallas_call has no GSPMD partitioning rule.
     """
+    if allow_pallas is None:
+        flag = cfg.use_pallas_eval_attention
+        use_kernel = (flag == "on" or
+                      (flag == "auto" and jax.default_backend() == "tpu"))
+    else:
+        use_kernel = allow_pallas
 
     def step(state: TrainState, batch: Batch):
+        from clsr_tpu.ops.pallas_attention import use_eval_attention
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        logits, aux = state.apply_fn(variables, batch, train=False)
+        with use_eval_attention(use_kernel):
+            logits, aux = state.apply_fn(variables, batch, train=False)
         if cfg.method == "classification":
             preds = jax.nn.sigmoid(logits)
         else:

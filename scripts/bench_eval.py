@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--groups", type=int, default=100)
     ap.add_argument("--seq", type=int, default=50)
     ap.add_argument("--calls", type=int, default=5)
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused eval attention kernel (ops/pallas_attention)")
+    ap.add_argument("--check", action="store_true",
+                    help="cross-check kernel preds vs XLA preds on one batch")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,19 @@ def main():
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
     sample = _tiny_batch(B=B, L=L, G=G, n_items=N_ITEMS, n_cates=N_CATES)
     state = create_train_state(model, cfg, sample)
+    if args.pallas:
+        cfg = cfg.replace(use_pallas_eval_attention="on")
     eval_fn = make_eval_step_fn(model, cfg)
+
+    if args.check:
+        xla_fn = jax.jit(make_eval_step_fn(model, cfg, allow_pallas=False))
+        ker_fn = jax.jit(make_eval_step_fn(model, cfg, allow_pallas=True))
+        b = jax.jit(lambda k: device_batch(k, B, L, N_ITEMS, N_CATES,
+                                           N_USERS, G=G))(jax.random.PRNGKey(9))
+        p_x, _ = xla_fn(state, b)
+        p_k, _ = ker_fn(state, b)
+        diff = float(jnp.max(jnp.abs(p_x - p_k)))
+        print(f"check: max|preds_xla - preds_pallas| = {diff:.3e}", flush=True)
 
     def measure(K):
         @jax.jit
