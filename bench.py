@@ -75,8 +75,13 @@ def main():
     from clsr_tpu.models.registry import get_model_class
     from clsr_tpu.training.state import create_train_state
 
+    # BENCH_BF16=1 measures the bf16-compute production option at the
+    # same dims (docs/RESULTS_r2.md); the recorded bench stays f32 —
+    # reference-faithful math.
+    extra = ({"compute_dtype": "bfloat16"}
+             if os.environ.get("BENCH_BF16") else {})
     cfg = _taobao_cfg(batch_size=BATCH, optimizer="lazyadam",
-                      train_steps_per_call=STEPS_PER_CALL)
+                      train_steps_per_call=STEPS_PER_CALL, **extra)
 
     t0 = time.perf_counter()
     data_dir = os.path.join(tempfile.gettempdir(), "clsr_bench_data")

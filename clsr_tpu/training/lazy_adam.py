@@ -259,11 +259,12 @@ def make_lazy_optimizer(cfg: Config):
         if max_norm > 0.0:
             norm = jnp.sqrt(jnp.sum(g * g))   # rows >= nseg are zero
             g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
-        uid = jax.ops.segment_max(plan.sorted_ids, plan.seg,
-                                  num_segments=M, indices_are_sorted=True)
+        # per-run unique id = the id at the run's first row (plan.idx_first
+        # already locates it) — a compact gather instead of a segment_max
+        sel = jnp.minimum(plan.idx_first, M - 1)
+        uid = plan.sorted_ids[sel]
         safe = jnp.where(valid, uid, 0)
         vf = valid[:, None].astype(jnp.float32)
-        sel = jnp.minimum(plan.idx_first, M - 1)
         if fused:
             rows_first = w[sel]           # compact-array gather, no HBM
             p_old = rows_first[:, :D]     # f32 master (bf16-rounded)
