@@ -45,12 +45,13 @@ from __future__ import annotations
 
 import contextlib
 import threading
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from clsr_tpu.data.batch import Batch
 
@@ -75,6 +76,41 @@ class Plan:
     first: jnp.ndarray               # [M] bool first-occurrence mask
     idx_first: jnp.ndarray           # [M] int32 first occurrence per run
     pos: Dict[str, jnp.ndarray]      # site -> positions into sorted_ids
+    perm: jnp.ndarray                # [M] int32 argsort of concat site ids
+    inv: jnp.ndarray                 # [M] int32 argsort(perm)
+    # static (name, flat offset, id shape) per site, in concat order
+    site_slices: Tuple[Tuple[str, int, Tuple[int, ...]], ...] = \
+        flax.struct.field(pytree_node=False, default=())
+
+
+@jax.custom_vjp
+def permuted_rows(w: jnp.ndarray, inv: jnp.ndarray,
+                  perm: jnp.ndarray) -> jnp.ndarray:
+    """rows = w[inv] with a GATHER backward.
+
+    `inv` is a permutation of range(M) (the inverse argsort of the
+    concatenated site ids), so rows[i] == table[flat_ids[i]] — the
+    concatenation of every site lookup in original order.  Because it is
+    a permutation, each w row receives exactly ONE cotangent row, so the
+    backward is dL/dw = g[perm] — a pure gather.  Without this VJP, XLA
+    differentiates each per-site `w[pos]` into a scatter-add into a
+    zeros[M, D] (one per lookup site: 5-7 per step across the tables,
+    a few hundred us each at production dims, docs/RESULTS_r2.md row-op
+    cost model); the gather costs ~5x less than the scatter-add.
+    Bit-identical values and gradients (indices are disjoint, so even
+    the scatter-adds had no summation collisions to reassociate)."""
+    return w.at[inv].get(unique_indices=True)
+
+
+def _permuted_rows_fwd(w, inv, perm):
+    return w.at[inv].get(unique_indices=True), perm
+
+
+def _permuted_rows_bwd(perm, g):
+    return g.at[perm].get(unique_indices=True), None, None
+
+
+permuted_rows.defvjp(_permuted_rows_fwd, _permuted_rows_bwd)
 
 
 @flax.struct.dataclass
@@ -83,9 +119,22 @@ class CompactRows:
 
     w: jnp.ndarray                   # [M, D] = table[sorted_ids]
     plan: Plan
+    rows: Optional[jnp.ndarray] = None   # [M, D] permuted_rows(w) — every
+    #                                      site lookup concatenated in
+    #                                      original order (gather backward)
 
     def site(self, name: str) -> jnp.ndarray:
-        """Embedding rows for a lookup site, in original order/shape."""
+        """Embedding rows for a lookup site, in original order/shape.
+
+        With `rows` present this is a STATIC slice of the one permuted
+        gather (backward: concat of zero-padded slices, then one gather
+        by `perm` — no scatter-adds); otherwise the per-site gather."""
+        if self.rows is not None:
+            for s, off, shape in self.plan.site_slices:
+                if s == name:
+                    n = int(np.prod(shape))
+                    return self.rows[off:off + n].reshape(
+                        shape + (self.rows.shape[-1],))
         return self.w[self.pos(name)]
 
     def pos(self, name: str) -> jnp.ndarray:
@@ -160,13 +209,16 @@ def build_plan(sites: Dict[str, jnp.ndarray]) -> Plan:
         jnp.arange(M, dtype=jnp.int32), seg, num_segments=M,
         indices_are_sorted=True)
     pos = {}
+    slices = []
     off = 0
     for s, ids in sites.items():
         n = ids.size
         pos[s] = inv[off:off + n].reshape(shapes[s])
+        slices.append((s, off, tuple(int(x) for x in shapes[s])))
         off += n
     return Plan(sorted_ids=sorted_ids, seg=seg, first=first,
-                idx_first=idx_first, pos=pos)
+                idx_first=idx_first, pos=pos, perm=perm.astype(jnp.int32),
+                inv=inv.astype(jnp.int32), site_slices=tuple(slices))
 
 
 def build_plans(table_names: Dict[Any, str], batch: Batch
@@ -190,5 +242,7 @@ def gather_ws(tables: Dict[Any, jnp.ndarray],
 
 def make_context(plans: Dict[str, Plan],
                  ws: Dict[str, jnp.ndarray]) -> Dict[str, CompactRows]:
-    return {name: CompactRows(w=ws[name], plan=plans[name])
+    return {name: CompactRows(
+        w=ws[name], plan=plans[name],
+        rows=permuted_rows(ws[name], plans[name].inv, plans[name].perm))
             for name in ws}

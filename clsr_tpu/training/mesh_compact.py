@@ -77,6 +77,10 @@ class MeshPlan:
     pos: Dict[str, jnp.ndarray]      # site -> [d, b, ...] positions into Mi
     gperm: jnp.ndarray               # [d*Mi] int32 stable argsort of flat ids
     gseg: jnp.ndarray                # [d*Mi] int32 global run index
+    perm: jnp.ndarray                # [d, Mi] per-shard argsort of site ids
+    inv: jnp.ndarray                 # [d, Mi] per-shard argsort(perm)
+    # static (name, flat offset, per-shard id shape) per site, concat order
+    site_slices: tuple = flax.struct.field(pytree_node=False, default=())
 
 
 @flax.struct.dataclass
@@ -86,14 +90,25 @@ class MeshCompactRows:
 
     w: jnp.ndarray                   # [d, Mi, D] per-shard gathered rows
     plan: MeshPlan
+    rows: jnp.ndarray = None         # [d, Mi, D] per-shard permuted rows
 
     def site(self, name: str) -> jnp.ndarray:
         """Embedding rows for a lookup site, in original [B, ...] order.
 
-        A vmapped gather over the [d] shard axis: each data shard
-        indexes its own compact block (shard-local under GSPMD)."""
-        pos = self.plan.pos[name]                    # [d, b, ...]
+        With `rows` present: a STATIC slice of the one per-shard
+        permuted gather (compact_rows.permuted_rows vmapped over the
+        shard axis — backward is a gather by perm, no scatter-adds).
+        Fallback: a vmapped per-shard gather (each data shard indexes
+        its own compact block, shard-local under GSPMD)."""
         d = self.w.shape[0]
+        D = self.w.shape[-1]
+        if self.rows is not None:
+            for s, off, shp in self.plan.site_slices:
+                if s == name:
+                    n = int(np.prod(shp))
+                    vals = self.rows[:, off:off + n]           # [d, n, D]
+                    return vals.reshape((d * shp[0],) + shp[1:] + (D,))
+        pos = self.plan.pos[name]                    # [d, b, ...]
         flat = pos.reshape(d, -1)
         vals = jax.vmap(lambda wk, pk: wk[pk])(self.w, flat)   # [d, n, D]
         out_shape = ((pos.shape[0] * pos.shape[1],) + pos.shape[2:]
@@ -167,7 +182,8 @@ def build_mesh_plan(mesh: Mesh, sites: Dict[str, jnp.ndarray],
         gfirst = jax.lax.dynamic_slice(gfirst_flat, (k * mi,), (mi,))
         return (plan.sorted_ids[None], gfirst[None],
                 {s: plan.pos[s][None] for s in site_names},
-                gperm.astype(jnp.int32), gseg)
+                gperm.astype(jnp.int32), gseg,
+                plan.perm[None], plan.inv[None])
 
     ax = axes if flat else "data"
     in_specs = ({s: P(ax, *([None] * (v.ndim - 1)))
@@ -175,15 +191,22 @@ def build_mesh_plan(mesh: Mesh, sites: Dict[str, jnp.ndarray],
     out_specs = (P(ax, None), P(ax, None),
                  {s: P(ax, *([None] * (stacked[s].ndim - 1)))
                   for s in site_names},
-                 P(), P())
+                 P(), P(), P(ax, None), P(ax, None))
     # check_vma off: gperm/gseg are replicated outputs derived from the
     # all_gather — data-invariant by construction, but the checker
     # cannot infer that through the argsorts
-    sorted_ids, gfirst, pos, gperm, gseg = jax.shard_map(
+    sorted_ids, gfirst, pos, gperm, gseg, perm, inv = jax.shard_map(
         local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False)(stacked)
+    slices = []
+    off = 0
+    for s in site_names:
+        shp = tuple(int(x) for x in stacked[s].shape[1:])
+        slices.append((s, off, shp))
+        off += int(np.prod(shp))
     return MeshPlan(sorted_ids=sorted_ids, gfirst=gfirst, pos=pos,
-                    gperm=gperm, gseg=gseg)
+                    gperm=gperm, gseg=gseg, perm=perm, inv=inv,
+                    site_slices=tuple(slices))
 
 
 def build_mesh_plans(mesh: Mesh, table_names: Dict[Any, str], batch: Batch,
@@ -211,5 +234,10 @@ def gather_mesh_ws(tables: Dict[Any, jnp.ndarray],
 def make_mesh_context(plans: Dict[str, MeshPlan],
                       ws: Dict[str, jnp.ndarray]
                       ) -> Dict[str, MeshCompactRows]:
-    return {name: MeshCompactRows(w=ws[name], plan=plans[name])
+    from clsr_tpu.training.compact_rows import permuted_rows
+
+    return {name: MeshCompactRows(
+        w=ws[name], plan=plans[name],
+        rows=jax.vmap(permuted_rows)(ws[name], plans[name].inv,
+                                     plans[name].perm))
             for name in ws}

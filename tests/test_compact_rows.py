@@ -81,6 +81,47 @@ def test_plan_bookkeeping_exact():
         assert idx_first[r] == np.flatnonzero(seg == r)[0]
 
 
+def test_permuted_rows_values_and_gather_backward():
+    """permuted_rows == per-site gathers, and its VJP is g[perm] (a
+    gather, not a scatter-add) — bit-exact because `inv` is a
+    permutation so no cotangent rows collide."""
+    from clsr_tpu.training.compact_rows import (CompactRows, build_plan,
+                                                permuted_rows)
+
+    rng = np.random.RandomState(1)
+    hist = rng.randint(0, 9, (3, 4)).astype(np.int32)
+    tgts = rng.randint(0, 9, (3, 2)).astype(np.int32)
+    plan = build_plan({"hist": jnp.asarray(hist), "targets": jnp.asarray(tgts)})
+    M = plan.sorted_ids.shape[0]
+    w = jnp.asarray(rng.randn(M, 5).astype(np.float32))
+
+    rows = permuted_rows(w, plan.inv, plan.perm)
+    cr = CompactRows(w=w, plan=plan, rows=rows)
+    legacy = CompactRows(w=w, plan=plan)       # rows=None -> w[pos] path
+    for s in ("hist", "targets"):
+        assert np.array_equal(np.asarray(cr.site(s)),
+                              np.asarray(legacy.site(s)))
+
+    # gradients through sites match the scatter-add formulation exactly
+    def loss_sites(wx, use_rows):
+        c = CompactRows(
+            w=wx, plan=plan,
+            rows=permuted_rows(wx, plan.inv, plan.perm) if use_rows
+            else None)
+        return (jnp.sum(jnp.sin(c.site("hist")) * 0.7)
+                + jnp.sum(c.site("targets") ** 2))
+
+    g_new = jax.grad(lambda wx: loss_sites(wx, True))(w)
+    g_old = jax.grad(lambda wx: loss_sites(wx, False))(w)
+    assert np.array_equal(np.asarray(g_new), np.asarray(g_old))
+
+    # the custom VJP really is the inverse permutation gather
+    _, vjp = jax.vjp(lambda wx: permuted_rows(wx, plan.inv, plan.perm), w)
+    g = jnp.asarray(rng.randn(M, 5).astype(np.float32))
+    assert np.array_equal(np.asarray(vjp(g)[0]),
+                          np.asarray(g[np.asarray(plan.perm)]))
+
+
 @pytest.mark.parametrize("model", ["clsr", "gru4rec"])
 def test_compact_matches_legacy_one_step(model):
     n_items, n_cates, n_users = 60, 15, 25
