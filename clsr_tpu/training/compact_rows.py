@@ -98,7 +98,11 @@ def permuted_rows(w: jnp.ndarray, inv: jnp.ndarray,
     a few hundred us each at production dims, docs/RESULTS_r2.md row-op
     cost model); the gather costs ~5x less than the scatter-add.
     Bit-identical values and gradients (indices are disjoint, so even
-    the scatter-adds had no summation collisions to reassociate)."""
+    the scatter-adds had no summation collisions to reassociate).
+
+    Limitation: custom_vjp makes this reverse-mode only — jvp/jacfwd
+    through the compact loss will raise.  If forward-mode is ever
+    needed, swap in a custom_jvp (the JVP is simply t[inv])."""
     return w.at[inv].get(unique_indices=True)
 
 
@@ -135,6 +139,12 @@ class CompactRows:
                     n = int(np.prod(shape))
                     return self.rows[off:off + n].reshape(
                         shape + (self.rows.shape[-1],))
+            if self.plan.site_slices:
+                # rows is set but the site is unknown to the plan: a
+                # plan/rows construction mismatch, not a lookup to hide
+                raise KeyError(
+                    f"site {name!r} missing from plan.site_slices "
+                    f"{[s for s, _, _ in self.plan.site_slices]}")
         return self.w[self.pos(name)]
 
     def pos(self, name: str) -> jnp.ndarray:

@@ -49,7 +49,7 @@ engine, plus no-full-table HLO.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.struct
 import jax
@@ -90,7 +90,7 @@ class MeshCompactRows:
 
     w: jnp.ndarray                   # [d, Mi, D] per-shard gathered rows
     plan: MeshPlan
-    rows: jnp.ndarray = None         # [d, Mi, D] per-shard permuted rows
+    rows: Optional[jnp.ndarray] = None   # [d, Mi, D] per-shard permuted rows
 
     def site(self, name: str) -> jnp.ndarray:
         """Embedding rows for a lookup site, in original [B, ...] order.
