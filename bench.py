@@ -53,9 +53,11 @@ TF1_BASELINE_EXAMPLES_PER_SEC = 4000.0
 N_ITEMS = 100_000
 N_CATES = 5_000
 N_USERS = 8_000
-BATCH = 512
+# BENCH_BATCH / BENCH_STEPS_PER_CALL: sweep overrides (the recorded
+# driver bench uses the defaults; see docs for the B-sweep table)
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 SEQ = 50
-STEPS_PER_CALL = 128
+STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "128"))
 WARMUP_CALLS = 3
 CALLS = 12
 

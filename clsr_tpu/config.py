@@ -293,6 +293,25 @@ class Config:
                                     # writes per table per step; lazyadam
                                     # single-device only, falls back
                                     # automatically elsewhere
+    mesh_update_routing: str = "broadcast"  # 'broadcast' | 'owner' — how
+                                    # the mesh-compact gradient merge
+                                    # reaches the owning model shards.
+                                    # 'broadcast': all_gather the full
+                                    # (id, grad) stream, every device
+                                    # replays the merge (O(M) bytes,
+                                    # exact).  'owner': static-bucketed
+                                    # all_to_all routes (uid, gsum) to
+                                    # the owning shard — O(M/m) bytes
+                                    # per device (docs/SCALING.md);
+                                    # per-owner bucket capacity below
+                                    # must hold (overflow is counted in
+                                    # LazyAdamState.route_overflow and
+                                    # warned about, overflowed rows'
+                                    # gradients are dropped that step)
+    mesh_owner_capacity: float = 4.0  # per-owner bucket slots =
+                                    # ceil(f * Mi / m) clamped to
+                                    # [1, Mi]; raise for skewed
+                                    # (frequency-ordered) id spaces
 
     # ------------------------------------------------------------------ api
     def replace(self, **kwargs) -> "Config":
@@ -360,6 +379,14 @@ class Config:
         if self.compact_rows not in ("auto", "off"):
             raise ValueError(
                 f"compact_rows must be auto/off, got {self.compact_rows}")
+        if self.mesh_update_routing not in ("broadcast", "owner"):
+            raise ValueError(
+                f"mesh_update_routing must be broadcast/owner, got "
+                f"{self.mesh_update_routing}")
+        if self.mesh_owner_capacity <= 0:
+            raise ValueError(
+                f"mesh_owner_capacity must be > 0, got "
+                f"{self.mesh_owner_capacity}")
         if self.resident_data not in ("auto", "on", "off"):
             raise ValueError(
                 f"resident_data must be auto/on/off, got {self.resident_data}")

@@ -149,6 +149,198 @@ def epoch_permutation(eligible: np.ndarray, np_rng: np.random.RandomState,
     return out, n, n_calls, n_tail
 
 
+def resident_sharding(mesh, flat: bool = False):
+    """ResidentDataset-shaped NamedSharding pytree: rows over the batch
+    axes (P('data') or P(('data','model')) in flat mode), feature axes
+    replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from clsr_tpu.parallel.embedding import batch_axes
+    bax = batch_axes(flat)
+    r1 = NamedSharding(mesh, P(bax))
+    r2 = NamedSharding(mesh, P(bax, None))
+    return ResidentDataset(
+        users=r1, items=r1, cates=r1, labels=r1, lengths=r1,
+        item_hist=r2, cate_hist=r2, time_diff=r2, time_from_first=r2,
+        time_to_now=r2)
+
+
+def build_resident_mesh(view: PaddedView, mesh, flat: bool = False
+                        ) -> ResidentDataset:
+    """Upload the padded dataset ROW-SHARDED over the mesh's batch axes
+    (VERDICT r2 item 2: mesh-resident training data).
+
+    Rows are padded with zeros to a multiple of the batch-shard count so
+    every device holds an equal block; the epoch permutation only ever
+    indexes real rows, so the pad rows are never gathered.  Per-device
+    HBM cost drops n-fold vs a replicated upload."""
+    import numpy as np
+
+    from clsr_tpu.parallel.embedding import batch_axes
+    bax = batch_axes(flat)
+    n = int(np.prod([mesh.shape[a] for a in bax]))
+    L = view.item_hist.shape[1]
+
+    def pad(x, dtype=None):
+        x = np.asarray(x)
+        if dtype is not None:
+            x = x.astype(dtype)
+        r = (-x.shape[0]) % n
+        if r:
+            x = np.concatenate(
+                [x, np.zeros((r,) + x.shape[1:], x.dtype)])
+        return x
+
+    host = ResidentDataset(
+        users=pad(view.users, np.int32),
+        items=pad(view.items, np.int32),
+        cates=pad(view.cates, np.int32),
+        labels=pad(view.labels, np.float32),
+        lengths=pad(np.minimum(view.lengths, L), np.int32),
+        item_hist=pad(view.item_hist),
+        cate_hist=pad(view.cate_hist),
+        time_diff=pad(view.time_diff),
+        time_from_first=pad(view.time_from_first),
+        time_to_now=pad(view.time_to_now),
+    )
+    return jax.tree_util.tree_map(jax.device_put, host,
+                                  resident_sharding(mesh, flat))
+
+
+def gather_batch_mesh(mesh, flat: bool, res: ResidentDataset,
+                      idx: jnp.ndarray, valid: jnp.ndarray) -> Batch:
+    """gather_batch over a row-sharded ResidentDataset.
+
+    The epoch permutation assigns arbitrary dataset rows to arbitrary
+    batch positions, so a row a device needs may live on another shard.
+    Under GSPMD a plain gather on a sharded operand with replicated
+    indices would ALL-GATHER the dataset; instead each shard gathers the
+    batch rows it OWNS (gather_batch with off-shard rows masked to
+    zero), one psum over the batch axes assembles the full [B] batch
+    (every position is owned by exactly one shard), and each device
+    keeps its own [B/n] block — O(B x row_bytes) on the wire per step,
+    independent of dataset size.  Output leaves are sharded
+    P(batch_axes) like a host-fed batch, so the train step is
+    indistinguishable from the streaming path."""
+    from jax.sharding import PartitionSpec as P
+
+    from clsr_tpu.parallel.embedding import batch_axes
+    bax = batch_axes(flat)
+    n = int(np.prod([mesh.shape[a] for a in bax]))
+    B = idx.shape[0]
+    if B % n:
+        raise ValueError(f"batch {B} not divisible by {n} batch shards")
+    nb = B // n
+
+    def local(res_l, idx, valid):
+        k = jax.lax.axis_index(bax[0])
+        for a in bax[1:]:
+            k = k * mesh.shape[a] + jax.lax.axis_index(a)
+        rows = res_l.users.shape[0]
+        loc = idx - k * rows
+        ok = (loc >= 0) & (loc < rows)
+        part = gather_batch(res_l, jnp.where(ok, loc, 0), valid & ok)
+
+        def red(x):
+            x = jax.lax.psum(x, bax)
+            return jax.lax.dynamic_slice_in_dim(x, k * nb, nb, axis=0)
+
+        return jax.tree_util.tree_map(red, part)
+
+    res_specs = jax.tree_util.tree_map(
+        lambda s: s.spec, resident_sharding(mesh, flat))
+    b1 = P(bax)
+    b2 = P(bax, None)
+    out_specs = Batch(users=b1, items=b2, cates=b2, labels=b2,
+                      item_hist=b2, cate_hist=b2, mask=b2, time_diff=b2,
+                      time_from_first=b2, time_to_now=b2, valid=b1)
+    # check_vma off: idx/valid are replicated operands feeding per-shard
+    # masked gathers; the checker cannot infer the psum-assembled batch
+    # blocks are exchange-consistent
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(res_specs, P(), P()),
+        out_specs=out_specs, check_vma=False)(res, idx, valid)
+
+
+def make_mesh_resident_step(model, cfg: Config, mesh, state,
+                            shard_embeddings: bool = False,
+                            flat: bool = False) -> Callable:
+    """Single sharded resident step (mesh twin of make_resident_step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from clsr_tpu.parallel.embedding import use_sharded_tables
+    from clsr_tpu.parallel.mesh import state_sharding
+    from clsr_tpu.training.losses import LossParts
+    from clsr_tpu.training.steps import (make_train_step_fn,
+                                         sync_params_from_opt)
+
+    raw = make_train_step_fn(model, cfg)
+    B = cfg.batch_size
+
+    def step(st, res, perm, n_rows, offset, rng):
+        with use_sharded_tables(mesh if shard_embeddings else None, flat):
+            idx = jax.lax.dynamic_slice(perm, (offset,), (B,))
+            valid = (offset + jnp.arange(B)) < n_rows
+            batch = gather_batch_mesh(mesh, flat, res, idx, valid)
+            st, parts = raw(st, batch, rng)
+        return sync_params_from_opt(st), parts
+
+    st_shard = state_sharding(state, mesh, shard_embeddings)
+    rep = NamedSharding(mesh, P())
+    parts_shard = LossParts(loss=rep, data_loss=rep, regular_loss=rep,
+                            contrastive_loss=rep, discrepancy_loss=rep)
+    return jax.jit(
+        step,
+        in_shardings=(st_shard, resident_sharding(mesh, flat),
+                      rep, rep, rep, rep),
+        out_shardings=(st_shard, parts_shard),
+        donate_argnums=(0,))
+
+
+def make_mesh_resident_multi_step(model, cfg: Config, mesh, state,
+                                  steps_per_call: int,
+                                  shard_embeddings: bool = False,
+                                  flat: bool = False) -> Callable:
+    """K sharded resident steps per dispatch: the on-device epoch-
+    permutation gather (gather_batch_mesh) inside the sharded lax.scan —
+    the flagship single-chip configuration (resident gather in the
+    K-step scan) carried onto the mesh (VERDICT r2 item 2)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from clsr_tpu.parallel.embedding import use_sharded_tables
+    from clsr_tpu.parallel.mesh import state_sharding
+    from clsr_tpu.training.losses import LossParts
+    from clsr_tpu.training.steps import (make_train_step_fn,
+                                         sync_params_from_opt)
+
+    raw = make_train_step_fn(model, cfg)
+    B = cfg.batch_size
+
+    def multi(st, res, perm, n_rows, offset, rng):
+        def body(s, k):
+            start = offset + k * B
+            idx = jax.lax.dynamic_slice(perm, (start,), (B,))
+            valid = (start + jnp.arange(B)) < n_rows
+            batch = gather_batch_mesh(mesh, flat, res, idx, valid)
+            return raw(s, batch, jax.random.fold_in(rng, k))
+
+        with use_sharded_tables(mesh if shard_embeddings else None, flat):
+            st, parts = jax.lax.scan(body, st,
+                                     jnp.arange(steps_per_call))
+        return sync_params_from_opt(st), parts
+
+    st_shard = state_sharding(state, mesh, shard_embeddings)
+    rep = NamedSharding(mesh, P())
+    parts_shard = LossParts(loss=rep, data_loss=rep, regular_loss=rep,
+                            contrastive_loss=rep, discrepancy_loss=rep)
+    return jax.jit(
+        multi,
+        in_shardings=(st_shard, resident_sharding(mesh, flat),
+                      rep, rep, rep, rep),
+        out_shardings=(st_shard, parts_shard),
+        donate_argnums=(0,))
+
+
 def make_resident_step(model, cfg: Config) -> Callable:
     """Single resident step: (state, res, perm, n_rows, offset, rng)."""
     from clsr_tpu.training.steps import make_train_step_fn

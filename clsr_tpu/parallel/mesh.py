@@ -253,8 +253,11 @@ def make_sharded_eval_step(model, cfg: Config, mesh: Mesh,
     from clsr_tpu.parallel.embedding import batch_axes, use_sharded_tables
     from clsr_tpu.training.steps import make_eval_step_fn
 
-    # allow_pallas=False: pallas_call has no GSPMD partitioning rule
-    raw_inner = make_eval_step_fn(model, cfg, allow_pallas=False)
+    # allow_pallas=None defers to the config flag: the kernel reaches
+    # the mesh through the shard_map wrapper in ops/attention.py
+    # (pallas_attention.fused_eval_attention_mesh), so 'auto'/'on'
+    # carries the 4.4x fused scorer to sharded eval and serving
+    raw_inner = make_eval_step_fn(model, cfg, allow_pallas=None)
 
     def raw(st, batch):
         with use_sharded_tables(mesh if shard_embeddings else None,

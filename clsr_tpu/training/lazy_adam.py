@@ -76,6 +76,12 @@ class LazyAdamState(flax.struct.PyTreeNode):
     moments: Any
     count: jnp.ndarray
     dense_opt: Any
+    # cumulative count of (source, owner) bucket entries dropped by the
+    # owner-routed mesh merge (mesh_update_routing='owner') because a
+    # per-owner bucket exceeded mesh_owner_capacity; stays 0 on every
+    # other path.  The trainer reads it once per epoch and warns.
+    route_overflow: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def is_pmn(param, mn) -> bool:
@@ -142,6 +148,7 @@ def make_lazy_optimizer(cfg: Config):
             moments={p: init_rows(v) for p, v in tables.items()},
             count=jnp.zeros((), jnp.int32),
             dense_opt=dense_tx.init(dense),
+            route_overflow=jnp.zeros((), jnp.int32),
         )
 
     def table_update(param, grad_dense, mn, ids, t):
@@ -359,6 +366,161 @@ def make_lazy_optimizer(cfg: Config):
         )(mn, gw, plan.sorted_ids, plan.gperm, plan.gseg, t)
         return param, new_mn
 
+    def compact_table_update_mesh_owner(mesh, param, gw, mn, plan, t,
+                                        flat=False, capacity_factor=4.0):
+        """Owner-routed O(M/m) mesh-compact row update (docs/SCALING.md
+        "pod-scale refinement", SURVEY §2.4's ragged_all_to_all row).
+
+        The broadcast merge (compact_table_update_mesh) ships the FULL
+        per-step (id, grad) stream to every device (~M x (4+4D) bytes
+        received) so each can replay the global merge.  Here each device
+        instead
+          1. merges its own sorted w-space gradients into per-unique
+             (uid, gsum) runs (a local segment_sum — no collective);
+          2. buckets the runs by owning model shard (owner = uid //
+             rows_per_shard; the sorted runs are owner-contiguous, so
+             bucket ranks are a cumsum) into STATIC [m, C] buckets,
+             C = ceil(capacity_factor * Mi / m) slots (empty slots carry
+             a sentinel id = N with zero grad; entries past C are
+             DROPPED and counted — a runtime-ragged all_to_all cannot be
+             static-shaped, so capacity is the honest knob);
+          3. flat mode: one all_to_all over 'model' delivers each column
+             only its owned buckets; non-flat mode the per-column select
+             is local (streams are replicated over 'model');
+          4. one all_gather over 'data' collects the owned buckets from
+             the other batch shards (~d*m*C x (4+4D) bytes = O(M/m) at
+             C ~ Mi/m, vs the broadcast's O(M));
+          5. one local merge (argsort + segment_sum; sentinels sort
+             last) yields the EXACT globally-summed per-unique-row
+             gradient for this column's owned rows, and the per-tensor
+             clip norm is recovered exactly as a psum over 'model' of
+             the per-owner partial sums (ownership partitions the
+             unique-id set, so the partials are disjoint).
+
+        Identical math to the broadcast merge up to float reassociation
+        order — differential-tested in tests/test_owner_routing.py.
+        Caveat: ids skewed into one shard's range (e.g. CLSR's
+        frequency-ordered vocabs at small m) need a higher
+        capacity_factor; overflow is returned (psum'd count) and
+        accumulated in LazyAdamState.route_overflow.  pmn layout only.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        from clsr_tpu.parallel.embedding import batch_axes
+
+        N, D = param.shape
+        if not is_pmn(param, mn):
+            raise ValueError("owner routing requires the pmn fused layout")
+        m = mesh.shape["model"]
+        if N % m != 0:
+            raise ValueError("owner routing requires a shardable table")
+        rows = N // m
+        Mi = int(plan.sorted_ids.shape[1])
+        C = max(1, min(Mi, -(-int(capacity_factor * Mi) // m)))
+        axes = batch_axes(flat)
+
+        def local(mn_s, gw_b, ids_b, t):
+            ids = ids_b[0]                        # [Mi] sorted ascending
+            g0 = gw_b[0].astype(jnp.float32)      # [Mi, D]
+            # 1. local per-unique merge over the sorted runs
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+            seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+            gsum = jax.ops.segment_sum(g0, seg, num_segments=Mi,
+                                       indices_are_sorted=True)
+            nrun = seg[-1] + 1
+            run_ok = jnp.arange(Mi, dtype=jnp.int32) < nrun
+            uid = jax.ops.segment_max(ids, seg, num_segments=Mi,
+                                      indices_are_sorted=True)
+            uid = jnp.where(run_ok, uid, N)       # sentinel for empty runs
+            # 2. owner-contiguous bucketing (runs sorted by uid =>
+            #    nondecreasing owner; rank within bucket via cumsum)
+            owner = jnp.clip(uid // rows, 0, m - 1)
+            counts = jax.ops.segment_sum(
+                run_ok.astype(jnp.int32), owner, num_segments=m,
+                indices_are_sorted=True)
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+            rank = jnp.arange(Mi, dtype=jnp.int32) - starts[owner]
+            in_cap = rank < C
+            send_ok = run_ok & in_cap
+            tgt = jnp.where(send_ok, owner * C + rank, m * C)
+            send_ids = jnp.full((m * C,), N, jnp.int32).at[tgt].set(
+                jnp.where(send_ok, uid, N), mode="drop")
+            send_g = jnp.zeros((m * C, D), jnp.float32).at[tgt].set(
+                gsum * send_ok[:, None], mode="drop")
+            j = jax.lax.axis_index("model")
+            # 3. route buckets to their owning model shard
+            if flat:
+                # every device's stream is distinct: count all drops here
+                ovf = jnp.sum((run_ok & ~in_cap).astype(jnp.int32))
+                rid = jax.lax.all_to_all(
+                    send_ids.reshape(m, C), "model",
+                    split_axis=0, concat_axis=0)         # [m, C]
+                rg = jax.lax.all_to_all(
+                    send_g.reshape(m, C, D), "model",
+                    split_axis=0, concat_axis=0)         # [m, C, D]
+            else:
+                # streams are replicated over 'model': each column keeps
+                # only its own bucket (and counts only its own drops)
+                ovf = jnp.sum(
+                    (run_ok & ~in_cap & (owner == j)).astype(jnp.int32))
+                rid = jax.lax.dynamic_slice(send_ids, (j * C,), (C,))
+                rg = jax.lax.dynamic_slice(send_g, (j * C, 0), (C, D))
+            ovf = jax.lax.psum(jax.lax.psum(ovf, "data"), "model")
+            # 4. collect the owned buckets from the other batch shards
+            gid = jax.lax.all_gather(rid, "data").reshape(-1)
+            gg = jax.lax.all_gather(rg, "data").reshape(-1, D)
+            # 5. merge: exact global per-unique-row sums for owned rows
+            p = jnp.argsort(gid)                  # sentinels (=N) last
+            sid = gid[p]
+            sg = gg[p]
+            K = sid.shape[0]
+            fg = jnp.concatenate(
+                [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+            gsg = jnp.cumsum(fg.astype(jnp.int32)) - 1
+            gm = jax.ops.segment_sum(sg, gsg, num_segments=K,
+                                     indices_are_sorted=True)
+            gu = jax.ops.segment_max(sid, gsg, num_segments=K,
+                                     indices_are_sorted=True)
+            nseg = gsg[-1] + 1
+            valid = ((jnp.arange(K, dtype=jnp.int32) < nseg)
+                     & (gu >= 0) & (gu < N))
+            vf = valid[:, None].astype(jnp.float32)
+            if max_norm > 0.0:
+                # ownership partitions the unique-id set: the exact
+                # global clip norm is the psum of disjoint partials
+                sumsq = jax.lax.psum(jnp.sum(gm * gm * vf), "model")
+                norm = jnp.sqrt(sumsq)
+                gm = gm * jnp.where(norm > max_norm, max_norm / norm, 1.0)
+            loc = jnp.where(valid, gu, 0) - j * rows
+            ok = valid & (loc >= 0) & (loc < rows)
+            locc = jnp.where(ok, loc, 0)
+            mv = mn_s[locc] * ok[:, None].astype(jnp.float32)
+            m_new = b1 * mv[:, D:2 * D] + (1.0 - b1) * gm
+            v_new = b2 * mv[:, 2 * D:] + (1.0 - b2) * gm * gm
+            m_hat = m_new / (1.0 - b1 ** t)
+            v_hat = v_new / (1.0 - b2 ** t)
+            step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            new_rows = mv[:, :D] - step           # f32 pmn master lane
+            tgt2 = jnp.where(ok, loc, rows)       # invalid -> dropped
+            pmn_rows = jnp.concatenate([new_rows, m_new, v_new], axis=-1)
+            return mn_s.at[tgt2].set(pmn_rows, mode="drop"), ovf
+
+        ax = axes if flat else "data"
+        # check_vma off as in the broadcast merge: the routed streams
+        # are identical across a column after the all_gather, which the
+        # checker cannot infer; this update is not differentiated through
+        new_mn, ovf = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("model", None), P(ax, None, None), P(ax, None),
+                      P()),
+            out_specs=(P("model", None), P()),
+            check_vma=False,
+        )(mn, gw, plan.sorted_ids, t)
+        return param, new_mn, ovf
+
     def finish_update(params, dense_grads, state, per_table):
         """Shared tail of every update variant: run `per_table(path,
         param, moments, t)` over the tables, then the flattened dense
@@ -381,20 +543,43 @@ def make_lazy_optimizer(cfg: Config):
         merged.update(new_tables)
         new_params = flax.traverse_util.unflatten_dict(merged)
         return new_params, LazyAdamState(
-            moments=new_moments, count=count, dense_opt=new_dense_opt)
+            moments=new_moments, count=count, dense_opt=new_dense_opt,
+            route_overflow=state.route_overflow)
 
     def compact_mesh_update_fn(mesh, params, dense_grads, gws,
                                state: LazyAdamState, plans, table_names,
                                flat=False):
         """Mesh twin of compact_update_fn: per-table mesh-compact row
         updates + the flattened dense Adam (dense grads arrive already
-        psum'd over the batch axes by GSPMD)."""
+        psum'd over the batch axes by GSPMD).
+
+        cfg.mesh_update_routing='owner' takes the O(M/m) owner-routed
+        merge for shardable tables (non-shardable tables keep the
+        broadcast merge — their pmn arrays are replicated anyway)."""
+        owner = getattr(cfg, "mesh_update_routing", "broadcast") == "owner"
+        cap = getattr(cfg, "mesh_owner_capacity", 4.0)
+        overflows = []
+
         def per_table(path, param, mn, t):
             name = table_names[path]
+            if owner and param.shape[0] % mesh.shape["model"] == 0:
+                p_new, mn_new, ovf = compact_table_update_mesh_owner(
+                    mesh, param, gws[name], mn, plans[name], t, flat=flat,
+                    capacity_factor=cap)
+                overflows.append(ovf)
+                return p_new, mn_new
             return compact_table_update_mesh(
                 mesh, param, gws[name], mn, plans[name], t, flat=flat)
 
-        return finish_update(params, dense_grads, state, per_table)
+        new_params, new_state = finish_update(
+            params, dense_grads, state, per_table)
+        if overflows:
+            total = overflows[0]
+            for o in overflows[1:]:
+                total = total + o
+            new_state = new_state.replace(
+                route_overflow=state.route_overflow + total)
+        return new_params, new_state
 
     def compact_update_fn(params, dense_grads, gws, state: LazyAdamState,
                           plans, ws, table_names):

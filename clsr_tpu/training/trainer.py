@@ -53,6 +53,7 @@ class Trainer:
                                                 shard_batch)
             self._mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
             shard_emb = cfg.model_parallel > 1
+            self._shard_emb = shard_emb
             flat = resolve_flat_batch(cfg)
             self._flat_batch = flat
             base_state = self.state
@@ -115,7 +116,8 @@ class Trainer:
         self._ckpt = ocp.StandardCheckpointer() if cfg.model_dir else None
         self.summary = SummaryWriter(cfg.summaries_dir, cfg.write_tfevents)
         # device-resident train data (data/resident.py) — built lazily in
-        # fit(); single-mesh only for now
+        # fit(); on a mesh the rows are sharded over the batch axes and
+        # batches assembled by gather_batch_mesh (resident.py)
         self._resident = None
         self._resident_multi = None
         self._resident_single = None
@@ -123,8 +125,15 @@ class Trainer:
     # ------------------------------------------------------------------
     def _use_resident(self, train_loader: SequenceLoader) -> bool:
         cfg = self.cfg
-        if self._mesh is not None or cfg.resident_data == "off":
+        if cfg.resident_data == "off":
             return False
+        if self._mesh is not None:
+            # mesh path needs equal per-device batch blocks
+            from clsr_tpu.parallel.embedding import batch_axes
+            n = int(np.prod([self._mesh.shape[a]
+                             for a in batch_axes(self._flat_batch)]))
+            if cfg.batch_size % n:
+                return False
         if cfg.resident_data == "on":
             return True
         from clsr_tpu.data.resident import resident_nbytes_estimate
@@ -143,16 +152,31 @@ class Trainer:
         Returns (rng, n_steps, epoch_loss).
         """
         from clsr_tpu.data.resident import (build_resident,
+                                            build_resident_mesh,
                                             epoch_permutation,
+                                            make_mesh_resident_multi_step,
+                                            make_mesh_resident_step,
                                             make_resident_multi_step,
                                             make_resident_step)
         cfg = self.cfg
         if self._resident is None:
-            self._resident = build_resident(train_loader.view)
-            self._resident_single = make_resident_step(self.model, cfg)
-            if cfg.train_steps_per_call > 1:
-                self._resident_multi = make_resident_multi_step(
-                    self.model, cfg, cfg.train_steps_per_call)
+            if self._mesh is not None:
+                self._resident = build_resident_mesh(
+                    train_loader.view, self._mesh, self._flat_batch)
+                self._resident_single = make_mesh_resident_step(
+                    self.model, cfg, self._mesh, self.state,
+                    self._shard_emb, self._flat_batch)
+                if cfg.train_steps_per_call > 1:
+                    self._resident_multi = make_mesh_resident_multi_step(
+                        self.model, cfg, self._mesh, self.state,
+                        cfg.train_steps_per_call, self._shard_emb,
+                        self._flat_batch)
+            else:
+                self._resident = build_resident(train_loader.view)
+                self._resident_single = make_resident_step(self.model, cfg)
+                if cfg.train_steps_per_call > 1:
+                    self._resident_multi = make_resident_multi_step(
+                        self.model, cfg, cfg.train_steps_per_call)
         B = cfg.batch_size
         K = cfg.train_steps_per_call if self._resident_multi else 1
         eligible = np.flatnonzero(
@@ -161,7 +185,12 @@ class Trainer:
             eligible, np_rng, B, K, cfg.drop_remainder_min)
         if self._resident_multi is None:
             n_calls, n_tail = 0, n_calls
-        perm_dev = jax.device_put(perm)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            perm_dev = jax.device_put(
+                perm, NamedSharding(self._mesh, P()))
+        else:
+            perm_dev = jax.device_put(perm)
         n_dev = np.int32(n_use)
 
         total = data_total = None
@@ -298,6 +327,21 @@ class Trainer:
             self.eval_history.append((epoch, valid_res))
             self.summary.scalars(step, {f"valid/{k}": v
                                         for k, v in valid_res.items()})
+
+            if self._mesh is not None and cfg.mesh_update_routing == "owner":
+                # one scalar read at a boundary we already sync at; the
+                # counter accumulates dropped (source, owner) bucket
+                # entries from the O(M/m) owner-routed merge (lazy_adam)
+                from clsr_tpu.training.lazy_adam import LazyAdamState
+                if isinstance(self.state.opt_state, LazyAdamState):
+                    ovf = int(jax.device_get(
+                        self.state.opt_state.route_overflow))
+                    if ovf:
+                        self.log(
+                            f"WARNING: owner-routed update merge dropped "
+                            f"{ovf} gradient bucket entries so far "
+                            f"(mesh_owner_capacity too small for this id "
+                            f"distribution — raise it)")
 
             progress = False
             if valid_res[cfg.eval_metric] > best_metric:

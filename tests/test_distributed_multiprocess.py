@@ -1,12 +1,12 @@
 """Multi-process multi-host execution (parallel/distributed.py).
 
 SURVEY.md section 4 calls for multi-host tests via JAX's portable
-runtime: this spawns TWO OS processes, each with 2 virtual CPU devices,
+runtime: this spawns N OS processes, each with 2 virtual CPU devices,
 coordinated through jax.distributed.initialize on localhost — a real
-2-host bring-up (global mesh of 4 devices, per-host batch shards
+N-host bring-up (global mesh of 2N devices, per-host batch shards
 assembled with make_array_from_process_local_data, psum gradient
 reduction across the process boundary).  The loss trace must match a
-single-process 4-device run of the same program.
+single-process run of the same program on the same number of devices.
 """
 
 import json
@@ -28,12 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("mode", ["dp", "mesh_compact"])
-def test_two_process_training_matches_single_process(tmp_path, mode):
-    """mode='dp': replicated params, psum over the process boundary.
-    mode='mesh_compact': the production machinery — row-sharded tables
-    (pmn) on a 2x2 mesh, lazyadam mesh-compact updates, flat batch —
-    with 'data' crossing the process boundary."""
+def _run_workers(tmp_path, mode, n_procs):
     port = _free_port()
     env = dict(
         os.environ,
@@ -43,11 +38,11 @@ def test_two_process_training_matches_single_process(tmp_path, mode):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), "2", str(i), str(tmp_path),
-             mode],
+            [sys.executable, WORKER, str(port), str(n_procs), str(i),
+             str(tmp_path), mode],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     for p in procs:
@@ -62,13 +57,17 @@ def test_two_process_training_matches_single_process(tmp_path, mode):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
 
     losses = []
-    for i in range(2):
+    for i in range(n_procs):
         with open(tmp_path / f"loss_{i}.json") as f:
             losses.append(json.load(f))
-    # both processes observe the same (replicated) loss
-    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # every process observes the same (replicated) loss
+    for i in range(1, n_procs):
+        np.testing.assert_allclose(losses[0], losses[i], rtol=1e-6)
+    return losses[0]
 
-    # single-process reference on 4 of this process's virtual devices
+
+def _reference_losses(mode, n_devices, n_steps):
+    """Single-process run on n_devices of this process's virtual CPUs."""
     import jax
 
     from clsr_tpu.models.registry import get_model_class
@@ -80,11 +79,12 @@ def test_two_process_training_matches_single_process(tmp_path, mode):
     shard_emb = mode == "mesh_compact"
     flat = shard_emb
     n_model = 2 if shard_emb else 1
-    cfg = worker_config(n_data=4 // n_model, mode=mode)
+    cfg = worker_config(n_data=n_devices // n_model, mode=mode)
     n_items, n_cates, n_users = 50, 10, 20
     model = get_model_class("gru4rec")(
         cfg=cfg, n_users=n_users, n_items=n_items, n_cates=n_cates)
-    mesh = make_mesh(4 // n_model, n_model, devices=jax.devices("cpu")[:4])
+    mesh = make_mesh(n_devices // n_model, n_model,
+                     devices=jax.devices("cpu")[:n_devices])
     sample = make_global_batch(16, cfg.max_seq_length, n_items, n_cates,
                                n_users, seed=0)
     state = create_train_state(model, cfg, sample)
@@ -92,10 +92,32 @@ def test_two_process_training_matches_single_process(tmp_path, mode):
     step_fn = make_sharded_train_step(model, cfg, mesh, state, shard_emb,
                                       flat)
     ref = []
-    for k in range(len(losses[0])):
+    for k in range(n_steps):
         batch = make_global_batch(16, cfg.max_seq_length, n_items, n_cates,
                                   n_users, seed=100 + k)
         sstate, parts = step_fn(sstate, shard_batch(batch, mesh, flat),
                                 jax.random.PRNGKey(k))
         ref.append(float(jax.device_get(parts.loss)))
-    np.testing.assert_allclose(losses[0], ref, rtol=1e-5, atol=1e-6)
+    return ref
+
+
+@pytest.mark.parametrize("mode", ["dp", "mesh_compact"])
+def test_two_process_training_matches_single_process(tmp_path, mode):
+    """mode='dp': replicated params, psum over the process boundary.
+    mode='mesh_compact': the production machinery — row-sharded tables
+    (pmn) on a 2x2 mesh, lazyadam mesh-compact updates, flat batch —
+    with 'data' crossing the process boundary."""
+    losses = _run_workers(tmp_path, mode, n_procs=2)
+    ref = _reference_losses(mode, n_devices=4, n_steps=len(losses))
+    np.testing.assert_allclose(losses, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_four_process_mesh_compact_matches_single_process(tmp_path):
+    """VERDICT r2 item 7: 4 processes x 2 devices = an 8-device global
+    4x2 mesh running the full flat-batch mesh-compact configuration —
+    the exact topology dryrun_multichip simulates, across real process
+    boundaries — must match a single-process 8-device run."""
+    losses = _run_workers(tmp_path, "mesh_compact", n_procs=4)
+    ref = _reference_losses("mesh_compact", n_devices=8,
+                            n_steps=len(losses))
+    np.testing.assert_allclose(losses, ref, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,170 @@
+"""Owner-routed O(M/m) mesh update merge (lazy_adam.py
+compact_table_update_mesh_owner; design: docs/SCALING.md "pod-scale
+refinement", SURVEY §2.4 ragged_all_to_all row).
+
+Guarantees:
+  * mesh_update_routing='owner' is differential-equal to the broadcast
+    merge (and hence the single-device compact engine) — CLSR 2x4 and
+    GRU4Rec 4x2, flat and non-flat batch sharding;
+  * the compiled owner step routes through all-to-all + O(M/m)-sized
+    all-gathers: no full-stream (M-sized) gradient collective appears;
+  * a too-small mesh_owner_capacity drops entries, the drop count lands
+    in LazyAdamState.route_overflow, and training still runs (no NaNs);
+  * tables that don't divide the model axis fall back to the broadcast
+    merge and still match single-device.
+"""
+
+import re
+
+import jax
+import numpy as np
+import pytest
+
+from clsr_tpu.parallel.mesh import (make_mesh, make_sharded_train_step,
+                                    place_state, shard_batch)
+from clsr_tpu.training.steps import make_train_step
+from tests.test_lazy_adam import _batch
+from tests.test_mesh_compact import (N_CATES, N_ITEMS, N_USERS, _build,
+                                     _cfg, _one_step_close)
+
+
+def _run_mesh(model_name, cfg, batches, rngs, flat):
+    mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
+    model, state = _build(model_name, cfg, batches[0])
+    sstate = place_state(state, mesh, True)
+    step = make_sharded_train_step(model, cfg, mesh, state, True, flat)
+    traj = []
+    for b, r in zip(batches, rngs):
+        sstate, parts = step(sstate, shard_batch(b, mesh, flat), r)
+        traj.append([float(parts.loss), float(parts.regular_loss),
+                     float(parts.discrepancy_loss)])
+    return sstate, traj
+
+
+@pytest.mark.parametrize("model_name,dp,mp,flat", [
+    ("gru4rec", 4, 2, True),
+    ("gru4rec", 4, 2, False),
+    ("clsr", 2, 4, True),
+    ("clsr", 2, 4, False),
+])
+def test_owner_matches_broadcast(model_name, dp, mp, flat):
+    """Owner routing == broadcast merge == single-device engine (up to
+    float reassociation; one-step up to Adam sign flips)."""
+    rng_np = np.random.RandomState(0)
+    batches = [_batch(rng_np, N_ITEMS, N_CATES, N_USERS) for _ in range(3)]
+    rngs = [jax.random.PRNGKey(i) for i in range(3)]
+
+    kw = dict(dp=dp, mp=mp,
+              mesh_flat_batch="on" if flat else "off")
+    cfg_b = _cfg(model_name, **kw)
+    cfg_o = _cfg(model_name, mesh_update_routing="owner",
+                 mesh_owner_capacity=8.0, **kw)
+
+    s_b, traj_b = _run_mesh(model_name, cfg_b, batches, rngs, flat)
+    s_o, traj_o = _run_mesh(model_name, cfg_o, batches, rngs, flat)
+
+    # ample capacity: nothing may have been dropped
+    assert int(np.asarray(s_o.opt_state.route_overflow)) == 0
+    _one_step_close(s_b.params, s_o.params, cfg_b.learning_rate)
+    np.testing.assert_allclose(traj_b, traj_o, rtol=1e-4, atol=1e-7)
+
+    # and against the single-device compact engine
+    cfg1 = _cfg(model_name)
+    model, state = _build(model_name, cfg1, batches[0])
+    step1 = make_train_step(model, cfg1, donate=False)
+    traj1 = []
+    for b, r in zip(batches, rngs):
+        state, parts = step1(state, b, r)
+        traj1.append([float(parts.loss), float(parts.regular_loss),
+                      float(parts.discrepancy_loss)])
+    np.testing.assert_allclose(traj1, traj_o, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("flat", [True, False])
+def test_owner_hlo_collective_sizes(flat):
+    """O(M/m) wire check.  GRU4Rec 4x2, B=16: the item/cate tables see
+    Mi sorted ids per shard; the broadcast merge all-gathers the full
+    f32[n_shards*Mi, D] gradient stream (it shows up as an
+    f32[n, Mi, 8] all-gather), the owner merge must not materialize any
+    full-stream tensor — its collectives are [m, C(, D)] all-to-alls
+    (flat mode) and [d(*m), C(, D)] all-gathers with C = Mi/m here
+    (mesh_owner_capacity=1)."""
+    rng_np = np.random.RandomState(0)
+    batch = _batch(rng_np, N_ITEMS, N_CATES, N_USERS)
+    kw = dict(dp=4, mp=2, mesh_flat_batch="on" if flat else "off")
+    mesh = make_mesh(4, 2)
+
+    def compiled_text(cfg):
+        model, state = _build("gru4rec", cfg, batch)
+        sstate = place_state(state, mesh, True)
+        step = make_sharded_train_step(model, cfg, mesh, state, True, flat)
+        return step.lower(sstate, shard_batch(batch, mesh, flat),
+                          jax.random.PRNGKey(0)).compile().as_text()
+
+    txt_b = compiled_text(_cfg("gru4rec", **kw))
+    txt_o = compiled_text(_cfg("gru4rec", mesh_update_routing="owner",
+                               mesh_owner_capacity=1.0, **kw))
+
+    # per-shard sorted-id count for the item table: each shard holds
+    # b rows x (L hist + (1+ngs) targets) ids
+    n_batch_shards = 8 if flat else 4
+    b_loc = 16 // n_batch_shards
+    mi = b_loc * (6 + 3)
+    # broadcast ships the full stream: an f32[n, Mi, 8] all-gather
+    # (HLO prints the result shape LEFT of the op name)
+    full = rf"f32\[{n_batch_shards},{mi},8\][^\n]*all-gather"
+    assert re.findall(full, txt_b), "broadcast baseline changed shape?"
+    # owner: no full-stream tensor anywhere in the program
+    assert not re.findall(rf"f32\[{n_batch_shards},{mi},8\]", txt_o)
+    c = -(-mi // 2)   # capacity factor 1.0, m=2
+    if flat:
+        # XLA decomposes the [m, C, D] all_to_all into per-peer pieces
+        assert re.findall(rf"f32\[1,{c},8\][^\n]*all-to-all", txt_o)
+    # the merge collective is the O(M/m) bucket gather over 'data'
+    assert re.findall(
+        rf"f32\[4,2,{c},8\][^\n]*all-gather|f32\[4,{c},8\][^\n]*all-gather",
+        txt_o)
+
+
+def test_owner_overflow_counted():
+    """mesh_owner_capacity far too small: entries are dropped, the drop
+    count accumulates in route_overflow, training still produces finite
+    losses/params."""
+    rng_np = np.random.RandomState(1)
+    batches = [_batch(rng_np, N_ITEMS, N_CATES, N_USERS) for _ in range(2)]
+    rngs = [jax.random.PRNGKey(i) for i in range(2)]
+    cfg = _cfg("gru4rec", dp=4, mp=2, mesh_flat_batch="on",
+               mesh_update_routing="owner", mesh_owner_capacity=0.01)
+    sstate, traj = _run_mesh("gru4rec", cfg, batches, rngs, True)
+    assert int(np.asarray(sstate.opt_state.route_overflow)) > 0
+    assert np.isfinite(np.asarray(traj)).all()
+    leaves = jax.tree_util.tree_leaves(sstate.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_owner_replicated_table_fallback():
+    """Item vocab 95 doesn't divide model=2: with routing='owner' the
+    item table falls back to the broadcast merge; the step must still
+    match single-device."""
+    n_items = 95
+    rng_np = np.random.RandomState(2)
+    batches = [_batch(rng_np, n_items, N_CATES, N_USERS) for _ in range(2)]
+
+    cfg1 = _cfg()
+    model, state = _build("gru4rec", cfg1, batches[0], n_items=n_items)
+    step1 = make_train_step(model, cfg1, donate=False)
+
+    cfg2 = _cfg(dp=4, mp=2, mesh_update_routing="owner")
+    model2, state2 = _build("gru4rec", cfg2, batches[0], n_items=n_items)
+    mesh = make_mesh(4, 2)
+    sstate = place_state(state2, mesh, True)
+    step2 = make_sharded_train_step(model2, cfg2, mesh, state2, True)
+
+    for i, b in enumerate(batches):
+        state, rp = step1(state, b, jax.random.PRNGKey(i))
+        sstate, gp = step2(sstate, shard_batch(b, mesh),
+                           jax.random.PRNGKey(i))
+        if i == 0:
+            _one_step_close(state.params, sstate.params, cfg1.learning_rate)
+        np.testing.assert_allclose(float(rp.loss), float(gp.loss),
+                                   rtol=1e-5)
