@@ -84,6 +84,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=("auto", "on", "off"),
                    help="shard the batch over BOTH mesh axes "
                         "(parallel/embedding.py flat mode)")
+    p.add_argument("--mesh_update_routing", default="broadcast",
+                   choices=("broadcast", "owner"),
+                   help="mesh-compact gradient merge: broadcast the full "
+                        "(id, grad) stream, or route O(M/m) per-owner "
+                        "buckets (docs/SCALING.md)")
+    p.add_argument("--mesh_owner_capacity", type=float, default=4.0,
+                   help="per-owner bucket slots = ceil(f * Mi / m) for "
+                        "owner routing; overflow is counted and warned")
     p.add_argument("--optimizer", default=None,
                    help="override the YAML optimizer (adam/lazyadam/"
                         "adagrad/ftrl/padagrad/pgd/...)")
@@ -181,6 +189,8 @@ def make_config(args) -> "Config":
         summaries_dir=summary_dir,
         data_parallel=args.data_parallel,
         model_parallel=args.model_parallel,
+        mesh_update_routing=args.mesh_update_routing,
+        mesh_owner_capacity=args.mesh_owner_capacity,
         mesh_flat_batch=args.mesh_flat_batch,
         resident_data=args.resident_data,
         **{k: getattr(args, k) for k in

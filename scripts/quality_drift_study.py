@@ -50,6 +50,12 @@ SCALES = {
                      max_seq_length=250, batch_size=256,
                      hidden_size=40, item_embedding_dim=32,
                      cate_embedding_dim=8, user_embedding_dim=40),
+    # CPU-mesh e2e scale (4x2 virtual mesh; sized for a 4-core host)
+    "mesh": dict(n_users=2000, n_items=800, n_cates=40,
+                 min_events=30, max_events=60, burst_len=5,
+                 max_seq_length=40, batch_size=256,
+                 hidden_size=40, item_embedding_dim=32,
+                 cate_embedding_dim=8, user_embedding_dim=40),
     # mechanics smoke test (CPU-sized; not a quality claim)
     "smoke": dict(n_users=80, n_items=120, n_cates=12,
                   min_events=10, max_events=16, burst_len=4,
