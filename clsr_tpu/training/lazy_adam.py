@@ -255,20 +255,28 @@ def make_lazy_optimizer(cfg: Config):
         pmn layout: `w` is the [M, 3D] param|mu|nu gather — moments ride
         the forward gather, the HBM table is touched by ONE scatter-set,
         and `param` is returned untouched (synced at the jit boundary,
-        steps.sync_params_from_opt)."""
+        steps.sync_params_from_opt).
+
+        The per-run arrays are statically capped at Mc = min(M, N): a
+        table has at most N distinct rows, so runs beyond N cannot
+        exist (pigeonhole) — for small-vocab tables hit by long
+        histories (Kuaishou cate: N=2k, M=65k) this shrinks the moment
+        gather, Adam math and row scatter-set ~30x
+        (docs/RESULTS_r3.md "update cap")."""
         N, D = param.shape
         fused = w.shape[1] == 3 * D
         M = plan.sorted_ids.shape[0]
+        Mc = min(M, N)      # static: at most N distinct rows can occur
         g = jax.ops.segment_sum(gw.astype(jnp.float32), plan.seg,
-                                num_segments=M, indices_are_sorted=True)
+                                num_segments=Mc, indices_are_sorted=True)
         nseg = plan.seg[-1] + 1
-        valid = jnp.arange(M, dtype=jnp.int32) < nseg
+        valid = jnp.arange(Mc, dtype=jnp.int32) < nseg
         if max_norm > 0.0:
             norm = jnp.sqrt(jnp.sum(g * g))   # rows >= nseg are zero
             g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
         # per-run unique id = the id at the run's first row (plan.idx_first
         # already locates it) — a compact gather instead of a segment_max
-        sel = jnp.minimum(plan.idx_first, M - 1)
+        sel = jnp.minimum(plan.idx_first[:Mc], M - 1)
         uid = plan.sorted_ids[sel]
         safe = jnp.where(valid, uid, 0)
         vf = valid[:, None].astype(jnp.float32)
@@ -287,7 +295,7 @@ def make_lazy_optimizer(cfg: Config):
         new_rows = (p_old - step).astype(param.dtype)
         # strictly increasing targets: unique ids on the valid prefix,
         # out-of-range (dropped) tail
-        tgt = jnp.where(valid, uid, N + jnp.arange(M, dtype=jnp.int32))
+        tgt = jnp.where(valid, uid, N + jnp.arange(Mc, dtype=jnp.int32))
         kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
         if fused:
             pmn_rows = jnp.concatenate(
@@ -318,6 +326,7 @@ def make_lazy_optimizer(cfg: Config):
         if not is_pmn(param, mn):
             raise ValueError("mesh-compact requires the pmn fused layout")
         dM = plan.gperm.shape[0]
+        Mc = min(dM, N)     # static: at most N distinct rows can occur
         shardable = (N % mesh.shape["model"] == 0)
         axes = batch_axes(flat)
 
@@ -326,14 +335,14 @@ def make_lazy_optimizer(cfg: Config):
             ids_all = jax.lax.all_gather(ids_b[0], axes)  # [d, Mi]
             gflat = g_all.reshape(-1, D).astype(jnp.float32)[gperm]
             uids = ids_all.reshape(-1)[gperm]
-            g = jax.ops.segment_sum(gflat, gseg, num_segments=dM,
+            g = jax.ops.segment_sum(gflat, gseg, num_segments=Mc,
                                     indices_are_sorted=True)
             nseg = gseg[-1] + 1
-            valid = jnp.arange(dM, dtype=jnp.int32) < nseg
+            valid = jnp.arange(Mc, dtype=jnp.int32) < nseg
             if max_norm > 0.0:
                 norm = jnp.sqrt(jnp.sum(g * g))   # rows >= nseg are zero
                 g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
-            uid = jax.ops.segment_max(uids, gseg, num_segments=dM,
+            uid = jax.ops.segment_max(uids, gseg, num_segments=Mc,
                                       indices_are_sorted=True)
             safe_uid = jnp.where(valid, uid, 0)
             rows = mn_s.shape[0]
@@ -477,15 +486,17 @@ def make_lazy_optimizer(cfg: Config):
             sid = gid[p]
             sg = gg[p]
             K = sid.shape[0]
+            # static cap: at most N distinct real rows + 1 sentinel run
+            Kc = min(K, N + 1)
             fg = jnp.concatenate(
                 [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
             gsg = jnp.cumsum(fg.astype(jnp.int32)) - 1
-            gm = jax.ops.segment_sum(sg, gsg, num_segments=K,
+            gm = jax.ops.segment_sum(sg, gsg, num_segments=Kc,
                                      indices_are_sorted=True)
-            gu = jax.ops.segment_max(sid, gsg, num_segments=K,
+            gu = jax.ops.segment_max(sid, gsg, num_segments=Kc,
                                      indices_are_sorted=True)
             nseg = gsg[-1] + 1
-            valid = ((jnp.arange(K, dtype=jnp.int32) < nseg)
+            valid = ((jnp.arange(Kc, dtype=jnp.int32) < nseg)
                      & (gu >= 0) & (gu < N))
             vf = valid[:, None].astype(jnp.float32)
             if max_norm > 0.0:

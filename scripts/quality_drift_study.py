@@ -45,6 +45,15 @@ SCALES = {
                    max_seq_length=50, batch_size=512,
                    hidden_size=40, item_embedding_dim=32,
                    cate_embedding_dim=8, user_embedding_dim=40),
+    # same population as 'taobao' but r2's SHORT per-user histories:
+    # disentangles "more users" from "longer histories" — the aux
+    # contrastive supervision is a prior, and priors matter when
+    # per-user data is scarce
+    "taobao_short": dict(n_users=5000, n_items=1500, n_cates=50,
+                         min_events=20, max_events=40, burst_len=5,
+                         max_seq_length=50, batch_size=512,
+                         hidden_size=40, item_embedding_dim=32,
+                         cate_embedding_dim=8, user_embedding_dim=40),
     "kuaishou": dict(n_users=1500, n_items=1500, n_cates=50,
                      min_events=200, max_events=300, burst_len=10,
                      max_seq_length=250, batch_size=256,
@@ -102,6 +111,11 @@ def run_one(scale: str, seed: int, variant: str, epochs: int, out: str,
     loaders = {n: SequenceLoader(parse_file(paths[n], uv, iv, cv), L)
                for n in ("train", "valid", "test")}
 
+    # reference protocol: checkpoint on valid improvement, restore the
+    # BEST epoch for the test eval (sequential.py:352-353) — testing
+    # the final early-stopped state instead injects 4-epochs-past-best
+    # overfit noise into exactly the margin under study
+    model_dir = os.path.join(out, f"ckpt_{scale}_{seed}_{variant}")
     cfg = Config(
         model_type="clsr", user_vocab="u", item_vocab="i", cate_vocab="c",
         max_seq_length=L, batch_size=sc["batch_size"], train_num_ngs=4,
@@ -109,7 +123,8 @@ def run_one(scale: str, seed: int, variant: str, epochs: int, out: str,
         item_embedding_dim=sc["item_embedding_dim"],
         cate_embedding_dim=sc["cate_embedding_dim"],
         user_embedding_dim=sc["user_embedding_dim"],
-        epochs=epochs, early_stop=4, show_step=0, save_model=False,
+        epochs=epochs, early_stop=4, show_step=0, save_model=True,
+        model_dir=model_dir,
         seed=seed + 8, optimizer="lazyadam",
         resident_data="off",   # fixed program shapes across seeds
         **(dict(data_parallel=mesh[0], model_parallel=mesh[1])
@@ -128,9 +143,12 @@ def run_one(scale: str, seed: int, variant: str, epochs: int, out: str,
     t0 = time.time()
     trainer = Trainer(model, cfg, sample, log=lambda *a: None)
     trainer.fit(loaders["train"], loaders["valid"])
+    trainer.load_latest(model_dir)   # best-valid epoch (ref protocol)
     res = run_weighted_eval(trainer.eval_step, trainer.state,
                             loaders["test"], cfg, num_ngs=49,
                             calc_mean_alpha=not cfg.manual_alpha)
+    import shutil
+    shutil.rmtree(model_dir, ignore_errors=True)
     rec = dict(scale=scale, seed=seed, variant=variant, epochs=epochs,
                best_epoch=trainer.best_epoch,
                train_seconds=round(time.time() - t0, 1), **res)

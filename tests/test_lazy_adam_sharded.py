@@ -135,18 +135,22 @@ def test_sharded_lazyadam_matches_single_device(compact):
 @pytest.mark.parametrize("compact", ["auto", "off"])
 def test_sharded_step_hlo_has_no_full_table(compact):
     rng_np = np.random.RandomState(0)
-    batch = _batch(rng_np, N_ITEMS, N_CATES, N_USERS)
+    # vocab LARGER than the d*Mi=144 merge stream so the update's
+    # min(M, N)-capped compact arrays cannot collide with the
+    # full-table shape (see test_mesh_compact.py's twin)
+    n_items = 192
+    batch = _batch(rng_np, n_items, N_CATES, N_USERS)
     cfg = _cfg(dp=4, mp=2, compact=compact)
     model = get_model_class("gru4rec")(
-        cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
+        cfg=cfg, n_users=N_USERS, n_items=n_items, n_cates=N_CATES)
     state = create_train_state(model, cfg, batch)
     mesh = make_mesh(4, 2)
     sstate = place_state(state, mesh, True)
     step = make_sharded_train_step(model, cfg, mesh, state, True)
     txt = step.lower(sstate, shard_batch(batch, mesh),
                      jax.random.PRNGKey(0)).compile().as_text()
-    # full item table is f32[96,8]; the per-shard half is f32[48,8].
+    # full item table is f32[192,8]; the per-shard half is f32[96,8].
     # GSPMD's round-1 formulation all-gathered the table (33 full-shape
     # tensors); the explicit engine must have none.
-    assert not re.findall(r"f32\[96,8\]", txt)
-    assert not re.findall(r"all-gather[^\n]*f32\[96,", txt)
+    assert not re.findall(r"f32\[192,8\]", txt)
+    assert not re.findall(r"all-gather[^\n]*f32\[192,", txt)

@@ -142,24 +142,28 @@ def test_mesh_compact_replicated_table_fallback():
 
 @pytest.mark.parametrize("flat", [False, True])
 def test_mesh_compact_hlo_has_no_full_table(flat):
-    """The full item table is f32[96,8] (pmn f32[96,24]); per-shard
-    halves are [48,*].  No full-table tensor and no table-sized
+    """The full item table is f32[192,8] (pmn f32[192,24]); per-shard
+    halves are [96,*].  No full-table tensor and no table-sized
     all-gather may appear — the only f32 collectives are per-shard
     gathered-row psums/reduce-scatters and the w-gradient exchange.
-    In flat mode the dense compute must be sharded over ALL 8 devices:
-    per-device activations are [2, 8] (B=16/8), never [4, 8]."""
+    (n_items=192 keeps the vocab LARGER than the d*Mi=144 merge stream,
+    so the update's min(M, N)-capped compact arrays cannot collide with
+    the full-table shape.)  In flat mode the dense compute must be
+    sharded over ALL 8 devices: per-device activations are [2, 8]
+    (B=16/8), never [4, 8]."""
     rng_np = np.random.RandomState(0)
-    batch = _batch(rng_np, N_ITEMS, N_CATES, N_USERS)
+    n_items = 192
+    batch = _batch(rng_np, n_items, N_CATES, N_USERS)
     cfg = _cfg(dp=4, mp=2)
-    model, state = _build("gru4rec", cfg, batch)
+    model, state = _build("gru4rec", cfg, batch, n_items=n_items)
     mesh = make_mesh(4, 2)
     sstate = place_state(state, mesh, True)
     step = make_sharded_train_step(model, cfg, mesh, state, True, flat)
     txt = step.lower(sstate, shard_batch(batch, mesh, flat),
                      jax.random.PRNGKey(0)).compile().as_text()
-    assert not re.findall(r"f32\[96,8\]", txt)
-    assert not re.findall(r"f32\[96,24\]", txt)
-    assert not re.findall(r"all-gather[^\n]*f32\[96,", txt)
+    assert not re.findall(r"f32\[192,8\]", txt)
+    assert not re.findall(r"f32\[192,24\]", txt)
+    assert not re.findall(r"all-gather[^\n]*f32\[192,", txt)
     if flat:
         assert not re.findall(r"f32\[4,8\]", txt)   # no 'data'-only dense
         assert re.findall(r"f32\[2,8\]", txt)       # d*m-way dense blocks
