@@ -151,7 +151,9 @@ def make_synthetic_events(n_users: int = 50, n_items: int = 200,
 
 def make_drift_events(n_users: int, n_items: int, n_cates: int,
                       min_events: int = 20, max_events: int = 40,
-                      burst_len: int = 5, seed: int = 0):
+                      burst_len: int = 5, seed: int = 0,
+                      alpha_low: float = 0.25, alpha_high: float = 0.75,
+                      alpha_bimodal: bool = False):
     """Event streams with planted LONG/SHORT-term interest divergence.
 
     Each user has two STABLE long-term preferred categories (constant
@@ -188,7 +190,16 @@ def make_drift_events(n_users: int, n_items: int, n_cates: int,
         # prefs, so the planted long/short divergence is never diluted
         # by a burst landing on a stable category
         others = np.setdiff1d(np.arange(1, n_cates + 1), long_prefs)
-        alpha_u = 0.25 + 0.5 * rng.rand()
+        # alpha_bimodal plants a POPULATION of long-dominated and
+        # burst-dominated users (alpha_low / alpha_high, coin flip):
+        # a single global fusion weight cannot serve both, so per-user
+        # adaptive fusion (CLSR's gate) becomes necessary rather than
+        # merely available — the regime the disentanglement mechanism
+        # exists for (clsr.py:46-82)
+        if alpha_bimodal:
+            alpha_u = alpha_high if rng.rand() < 0.5 else alpha_low
+        else:
+            alpha_u = alpha_low + (alpha_high - alpha_low) * rng.rand()
         n_ev = rng.randint(min_events, max_events + 1)
         burst = others[rng.randint(len(others))]
         items = np.empty(n_ev, dtype=np.int64)

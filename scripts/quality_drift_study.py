@@ -54,6 +54,16 @@ SCALES = {
                          max_seq_length=50, batch_size=512,
                          hidden_size=40, item_embedding_dim=32,
                          cate_embedding_dim=8, user_embedding_dim=40),
+    # bimodal fusion population (alpha 0.1 or 0.9 per user, coin flip):
+    # a global fusion weight cannot serve both cohorts — the regime the
+    # adaptive gate + disentanglement supervision exist for
+    "taobao_bimodal": dict(n_users=5000, n_items=1500, n_cates=50,
+                           min_events=20, max_events=40, burst_len=5,
+                           alpha_low=0.1, alpha_high=0.9,
+                           alpha_bimodal=True,
+                           max_seq_length=50, batch_size=512,
+                           hidden_size=40, item_embedding_dim=32,
+                           cate_embedding_dim=8, user_embedding_dim=40),
     "kuaishou": dict(n_users=1500, n_items=1500, n_cates=50,
                      min_events=200, max_events=300, burst_len=10,
                      max_seq_length=250, batch_size=256,
@@ -94,12 +104,13 @@ def run_one(scale: str, seed: int, variant: str, epochs: int, out: str,
     from clsr_tpu.training.trainer import Trainer
 
     dsdir = os.path.join(out, f"ds_{scale}_{seed}")
+    gen_keys = ("min_events", "max_events", "burst_len",
+                "alpha_low", "alpha_high", "alpha_bimodal")
     if not os.path.exists(os.path.join(dsdir, "train_data")):
         write_drift_dataset(
             dsdir, n_users=sc["n_users"], n_items=sc["n_items"],
             n_cates=sc["n_cates"], valid_num_ngs=4, test_num_ngs=49,
-            seed=seed, min_events=sc["min_events"],
-            max_events=sc["max_events"], burst_len=sc["burst_len"])
+            seed=seed, **{k: sc[k] for k in gen_keys if k in sc})
     paths = {n: os.path.join(dsdir, f"{n}_data")
              for n in ("train", "valid", "test")}
     paths.update({f"{n}_vocab": os.path.join(dsdir, f"{n}_vocab.pkl")
