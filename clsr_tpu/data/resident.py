@@ -216,12 +216,13 @@ def gather_batch_mesh(mesh, flat: bool, res: ResidentDataset,
     Under GSPMD a plain gather on a sharded operand with replicated
     indices would ALL-GATHER the dataset; instead each shard gathers the
     batch rows it OWNS (gather_batch with off-shard rows masked to
-    zero), one psum over the batch axes assembles the full [B] batch
-    (every position is owned by exactly one shard), and each device
-    keeps its own [B/n] block — O(B x row_bytes) on the wire per step,
-    independent of dataset size.  Output leaves are sharded
-    P(batch_axes) like a host-fed batch, so the train step is
-    indistinguishable from the streaming path."""
+    zero) and ONE psum_scatter over the batch axes delivers each device
+    exactly its own [B/n] block (every position is owned by exactly one
+    shard; a full psum + slice would pay the all-gather half of the
+    exchange for data that is immediately discarded) — O(B x row_bytes)
+    on the wire per step, independent of dataset size.  Output leaves
+    are sharded P(batch_axes) like a host-fed batch, so the train step
+    is indistinguishable from the streaming path."""
     from jax.sharding import PartitionSpec as P
 
     from clsr_tpu.parallel.embedding import batch_axes
@@ -230,7 +231,6 @@ def gather_batch_mesh(mesh, flat: bool, res: ResidentDataset,
     B = idx.shape[0]
     if B % n:
         raise ValueError(f"batch {B} not divisible by {n} batch shards")
-    nb = B // n
 
     def local(res_l, idx, valid):
         k = jax.lax.axis_index(bax[0])
@@ -242,8 +242,9 @@ def gather_batch_mesh(mesh, flat: bool, res: ResidentDataset,
         part = gather_batch(res_l, jnp.where(ok, loc, 0), valid & ok)
 
         def red(x):
-            x = jax.lax.psum(x, bax)
-            return jax.lax.dynamic_slice_in_dim(x, k * nb, nb, axis=0)
+            # block order over the tuple axes matches k (data-major)
+            return jax.lax.psum_scatter(x, bax, scatter_dimension=0,
+                                        tiled=True)
 
         return jax.tree_util.tree_map(red, part)
 

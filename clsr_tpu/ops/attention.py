@@ -61,18 +61,20 @@ class TargetAttention(nn.Module):
         # grouped-eval shape the two scorer matmuls + masked softmax +
         # weighted sum run block-by-block in VMEM instead of streaming
         # [B, L, G, 80/40] hidden activations through HBM.  Trace-time
-        # gate set only by the single-device eval builders.
+        # gate set by the eval builders; mesh traces additionally set
+        # the eval-mesh context and route through shard_map below.
         from clsr_tpu.ops import pallas_attention as pa
         if (pa.eval_attention_enabled() and not train and not return_weights
                 and not self.is_initializing()
                 and G >= 8 and len(self.layer_sizes) == 2
                 and all(self.activations[min(i, len(self.activations) - 1)]
                         == "relu" for i in range(2))):
-            from clsr_tpu.parallel.embedding import (active_flat_batch,
-                                                     active_mesh,
-                                                     batch_axes)
-            mesh = active_mesh()
-            flat = active_flat_batch()
+            from clsr_tpu.parallel.embedding import batch_axes
+            # mesh eval traces (parallel/mesh.py:make_sharded_eval_step)
+            # always set this — including data-parallel-only meshes
+            # where the table context is None but the batch is sharded
+            mesh_info = pa.active_eval_mesh()
+            mesh, flat = mesh_info if mesh_info else (None, False)
             n_shards = (1 if mesh is None else
                         int(np.prod([mesh.shape[a]
                                      for a in batch_axes(flat)])))

@@ -66,6 +66,27 @@ def eval_attention_enabled() -> bool:
     return bool(getattr(_state, "enabled", False))
 
 
+def active_eval_mesh():
+    """(mesh, flat) while a MESH eval step is being traced, else None.
+
+    Set by parallel/mesh.py:make_sharded_eval_step for EVERY mesh eval
+    trace — including data-parallel-only meshes (model_parallel=1),
+    where the table context (parallel.embedding.active_mesh) is None
+    but the batch is still sharded, so a bare pallas_call must never be
+    traced into the GSPMD program."""
+    return getattr(_state, "mesh_info", None)
+
+
+@contextlib.contextmanager
+def use_eval_attention_mesh(mesh, flat: bool):
+    prev = getattr(_state, "mesh_info", None)
+    _state.mesh_info = (mesh, flat)
+    try:
+        yield
+    finally:
+        _state.mesh_info = prev
+
+
 @contextlib.contextmanager
 def use_eval_attention(enabled: bool):
     """Trace-time gate for the fused eval scorer.

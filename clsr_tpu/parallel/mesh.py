@@ -256,12 +256,18 @@ def make_sharded_eval_step(model, cfg: Config, mesh: Mesh,
     # allow_pallas=None defers to the config flag: the kernel reaches
     # the mesh through the shard_map wrapper in ops/attention.py
     # (pallas_attention.fused_eval_attention_mesh), so 'auto'/'on'
-    # carries the 4.4x fused scorer to sharded eval and serving
+    # carries the 4.4x fused scorer to sharded eval and serving.  The
+    # eval-mesh context is set for EVERY mesh trace — also
+    # data-parallel-only meshes (shard_embeddings False), where the
+    # table context is None but a bare pallas_call would still land in
+    # a GSPMD program with sharded batch operands.
+    from clsr_tpu.ops.pallas_attention import use_eval_attention_mesh
     raw_inner = make_eval_step_fn(model, cfg, allow_pallas=None)
 
     def raw(st, batch):
         with use_sharded_tables(mesh if shard_embeddings else None,
-                                flat_batch):
+                                flat_batch), \
+             use_eval_attention_mesh(mesh, flat_batch):
             return raw_inner(st, batch)
 
     st_shard = state_sharding(state, mesh, shard_embeddings)

@@ -80,6 +80,9 @@ class LazyAdamState(flax.struct.PyTreeNode):
     # owner-routed mesh merge (mesh_update_routing='owner') because a
     # per-owner bucket exceeded mesh_owner_capacity; stays 0 on every
     # other path.  The trainer reads it once per epoch and warns.
+    # NOTE: adding this leaf changed the checkpointed state tree —
+    # checkpoints saved before round 3 need a one-shot migration
+    # (insert a zeros[()] int32 leaf); none are kept in this repo.
     route_overflow: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))
 

@@ -287,8 +287,9 @@ def make_eval_step_fn(model, cfg: Config,
     `allow_pallas` gates the fused eval attention scorer
     (ops/pallas_attention.py); None defers to the config flag
     ('auto' = TPU backend only — on CPU the kernel exists only in slow
-    interpret mode).  The mesh builders (parallel/mesh.py) pass False —
-    pallas_call has no GSPMD partitioning rule.
+    interpret mode).  The mesh builders (parallel/mesh.py) also pass
+    None and set the eval-mesh context, so the kernel runs per batch
+    shard under shard_map (pallas_call itself has no GSPMD rule).
     """
     if allow_pallas is None:
         flag = cfg.use_pallas_eval_attention

@@ -63,22 +63,31 @@ def _eval(cfg, batch, flat, monkeypatch=None, spy=None):
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
     state = create_train_state(model, cfg, batch)
     mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
-    sstate = place_state(state, mesh, True)
-    step = make_sharded_eval_step(model, cfg, mesh, state, True, flat)
+    # mirror the Trainer: tables sharded only when model_parallel > 1
+    shard_emb = cfg.model_parallel > 1
+    sstate = place_state(state, mesh, shard_emb)
+    step = make_sharded_eval_step(model, cfg, mesh, state, shard_emb,
+                                  flat)
     preds, alpha = step(sstate, shard_batch(batch, mesh, flat))
     return np.asarray(preds), np.asarray(alpha)
 
 
-@pytest.mark.parametrize("flat,enable_bn", [
-    (True, False), (False, False), (True, True),
+@pytest.mark.parametrize("flat,enable_bn,dp,mp", [
+    (True, False, 4, 2), (False, False, 4, 2), (True, True, 4, 2),
+    # data-parallel-only mesh: the table context is None inside the
+    # trace, but the batch is sharded — the kernel must still route
+    # through the shard_map wrapper, never a bare GSPMD pallas_call
+    (False, False, 8, 1),
 ])
-def test_mesh_eval_pallas_matches_xla(flat, enable_bn, monkeypatch):
+def test_mesh_eval_pallas_matches_xla(flat, enable_bn, dp, mp,
+                                      monkeypatch):
     """Sharded eval with the kernel 'on' == the XLA mesh eval path, and
     the shard_map kernel wrapper is actually what ran (spied)."""
     import clsr_tpu.ops.pallas_attention as pa
 
     batch = _gbatch(np.random.RandomState(0))
-    want, want_a = _eval(_cfg("off", enable_bn), batch, flat)
+    want, want_a = _eval(_cfg("off", enable_bn, dp=dp, mp=mp), batch,
+                         flat)
 
     called = {}
     orig = pa.fused_eval_attention_mesh
@@ -88,7 +97,7 @@ def test_mesh_eval_pallas_matches_xla(flat, enable_bn, monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(pa, "fused_eval_attention_mesh", spy)
-    got, got_a = _eval(_cfg("on", enable_bn), batch, flat)
+    got, got_a = _eval(_cfg("on", enable_bn, dp=dp, mp=mp), batch, flat)
     assert called.get("hit"), "mesh eval did not route through the kernel"
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(got_a, want_a, rtol=2e-5, atol=2e-5)
