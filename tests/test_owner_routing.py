@@ -142,6 +142,57 @@ def test_owner_overflow_counted():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_owner_overflow_trainer_warns(tmp_path):
+    """The trainer surfaces bucket overflow once per epoch: a mesh fit
+    with a far-too-small capacity must log the WARNING (and still
+    finish the epoch with finite metrics)."""
+    from clsr_tpu.config import Config
+    from clsr_tpu.data.loader import SequenceLoader
+    from clsr_tpu.data.parser import parse_file
+    from clsr_tpu.data.synthetic import write_synthetic_dataset
+    from clsr_tpu.data.vocab import load_vocab
+    from clsr_tpu.models.registry import get_model_class
+    from clsr_tpu.training.trainer import Trainer
+
+    paths = write_synthetic_dataset(str(tmp_path), n_users=40, n_items=96,
+                                    n_cates=12, valid_num_ngs=4,
+                                    test_num_ngs=4, seed=1)
+    uv, iv, cv = (load_vocab(paths["user_vocab"]),
+                  load_vocab(paths["item_vocab"]),
+                  load_vocab(paths["cate_vocab"]))
+    cfg = Config(
+        model_type="gru4rec", user_vocab="u", item_vocab="i",
+        cate_vocab="c", item_embedding_dim=8, cate_embedding_dim=4,
+        hidden_size=12, max_seq_length=8, batch_size=16, train_num_ngs=2,
+        valid_num_ngs=4, epochs=1, early_stop=0, save_model=False,
+        show_step=0, enable_bn=False, seed=3, train_steps_per_call=2,
+        layer_sizes=(8,), activation=("relu",), optimizer="lazyadam",
+        data_parallel=4, model_parallel=2,
+        mesh_update_routing="owner", mesh_owner_capacity=0.01,
+    ).validate()
+    # pad table sizes to a multiple of model_parallel so the tables
+    # actually shard (odd vocab sizes would fall back to the broadcast
+    # merge and never exercise the owner buckets)
+    def pad2(n):
+        return n + (-n) % 2
+
+    model = get_model_class("gru4rec")(
+        cfg=cfg, n_users=pad2(len(uv)), n_items=pad2(len(iv)),
+        n_cates=pad2(len(cv)))
+    tl = SequenceLoader(parse_file(paths["train"], uv, iv, cv),
+                        cfg.max_seq_length)
+    vl = SequenceLoader(parse_file(paths["valid"], uv, iv, cv),
+                        cfg.max_seq_length)
+    logs = []
+    tr = Trainer(model, cfg, next(tl.train_batches(
+        cfg.batch_size, np.random.RandomState(0))),
+        log=lambda *a: logs.append(" ".join(str(x) for x in a)))
+    tr.fit(tl, vl)
+    assert any("owner-routed update merge dropped" in l for l in logs), \
+        logs[-5:]
+    assert int(np.asarray(tr.state.opt_state.route_overflow)) > 0
+
+
 def test_owner_replicated_table_fallback():
     """Item vocab 95 doesn't divide model=2: with routing='owner' the
     item table falls back to the broadcast merge; the step must still
