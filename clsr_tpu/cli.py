@@ -92,6 +92,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_owner_capacity", type=float, default=4.0,
                    help="per-owner bucket slots = ceil(f * Mi / m) for "
                         "owner routing; overflow is counted and warned")
+    p.add_argument("--mesh_owner_overflow", default="fallback",
+                   choices=("fallback", "drop"),
+                   help="owner-bucket overflow: lossless broadcast-merge "
+                        "fallback for that step (default), or round-3 "
+                        "drop semantics (docs/SCALING.md)")
+    p.add_argument("--mesh_row_layout", default="auto",
+                   choices=("auto", "interleaved", "contiguous"),
+                   help="physical row layout of model-sharded tables "
+                        "(parallel/rowmap.py; auto = interleaved iff "
+                        "owner routing)")
     p.add_argument("--optimizer", default=None,
                    help="override the YAML optimizer (adam/lazyadam/"
                         "adagrad/ftrl/padagrad/pgd/...)")
@@ -191,6 +201,8 @@ def make_config(args) -> "Config":
         model_parallel=args.model_parallel,
         mesh_update_routing=args.mesh_update_routing,
         mesh_owner_capacity=args.mesh_owner_capacity,
+        mesh_owner_overflow=args.mesh_owner_overflow,
+        mesh_row_layout=args.mesh_row_layout,
         mesh_flat_batch=args.mesh_flat_batch,
         resident_data=args.resident_data,
         **{k: getattr(args, k) for k in

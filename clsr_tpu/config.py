@@ -306,12 +306,43 @@ class Config:
                                     # per-owner bucket capacity below
                                     # must hold (overflow is counted in
                                     # LazyAdamState.route_overflow and
-                                    # warned about, overflowed rows'
-                                    # gradients are dropped that step)
+                                    # warned about; the step falls back
+                                    # to the broadcast merge — see
+                                    # mesh_owner_overflow)
     mesh_owner_capacity: float = 4.0  # per-owner bucket slots =
                                     # ceil(f * Mi / m) clamped to
                                     # [1, Mi]; raise for skewed
                                     # (frequency-ordered) id spaces
+    mesh_owner_overflow: str = "fallback"  # 'fallback' | 'drop' — what
+                                    # an over-capacity owner bucket does.
+                                    # 'fallback': the WHOLE table update
+                                    # takes the exact broadcast merge
+                                    # that step (lax.cond; the psum'd
+                                    # overflow flag is uniform across
+                                    # devices, so branch selection is
+                                    # collective-safe) — lossless at any
+                                    # capacity, overflow counter becomes
+                                    # pure telemetry.  'drop': round-3
+                                    # semantics (overflowed entries'
+                                    # gradients are dropped that step) —
+                                    # keeps the compiled program free of
+                                    # any full-stream collective
+    mesh_row_layout: str = "auto"   # 'auto' | 'interleaved' |
+                                    # 'contiguous' — physical row layout
+                                    # of model-sharded tables.
+                                    # 'interleaved': logical row i lives
+                                    # on shard i % m at local row i // m
+                                    # (one host-side transpose at
+                                    # placement), so frequency-ordered
+                                    # vocabs spread hot rows across ALL
+                                    # shards — the skew-proof owner
+                                    # function for the owner-routed
+                                    # merge.  'contiguous': shard j owns
+                                    # rows [j*N/m, (j+1)*N/m).  'auto':
+                                    # interleaved iff
+                                    # mesh_update_routing == 'owner'
+                                    # (the one path whose wire bytes
+                                    # depend on owner balance)
 
     # ------------------------------------------------------------------ api
     def replace(self, **kwargs) -> "Config":
@@ -387,6 +418,15 @@ class Config:
             raise ValueError(
                 f"mesh_owner_capacity must be > 0, got "
                 f"{self.mesh_owner_capacity}")
+        if self.mesh_owner_overflow not in ("fallback", "drop"):
+            raise ValueError(
+                f"mesh_owner_overflow must be fallback/drop, got "
+                f"{self.mesh_owner_overflow}")
+        if self.mesh_row_layout not in ("auto", "interleaved",
+                                        "contiguous"):
+            raise ValueError(
+                f"mesh_row_layout must be auto/interleaved/contiguous, "
+                f"got {self.mesh_row_layout}")
         if self.resident_data not in ("auto", "on", "off"):
             raise ValueError(
                 f"resident_data must be auto/on/off, got {self.resident_data}")

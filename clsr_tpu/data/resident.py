@@ -275,11 +275,15 @@ def make_mesh_resident_step(model, cfg: Config, mesh, state,
     from clsr_tpu.training.steps import (make_train_step_fn,
                                          sync_params_from_opt)
 
+    from clsr_tpu.parallel.rowmap import resolve_interleaved
+
     raw = make_train_step_fn(model, cfg)
     B = cfg.batch_size
+    il = resolve_interleaved(cfg)
 
     def step(st, res, perm, n_rows, offset, rng):
-        with use_sharded_tables(mesh if shard_embeddings else None, flat):
+        with use_sharded_tables(mesh if shard_embeddings else None, flat,
+                                il):
             idx = jax.lax.dynamic_slice(perm, (offset,), (B,))
             valid = (offset + jnp.arange(B)) < n_rows
             batch = gather_batch_mesh(mesh, flat, res, idx, valid)
@@ -314,8 +318,11 @@ def make_mesh_resident_multi_step(model, cfg: Config, mesh, state,
     from clsr_tpu.training.steps import (make_train_step_fn,
                                          sync_params_from_opt)
 
+    from clsr_tpu.parallel.rowmap import resolve_interleaved
+
     raw = make_train_step_fn(model, cfg)
     B = cfg.batch_size
+    il = resolve_interleaved(cfg)
 
     def multi(st, res, perm, n_rows, offset, rng):
         def body(s, k):
@@ -325,7 +332,8 @@ def make_mesh_resident_multi_step(model, cfg: Config, mesh, state,
             batch = gather_batch_mesh(mesh, flat, res, idx, valid)
             return raw(s, batch, jax.random.fold_in(rng, k))
 
-        with use_sharded_tables(mesh if shard_embeddings else None, flat):
+        with use_sharded_tables(mesh if shard_embeddings else None, flat,
+                                il):
             st, parts = jax.lax.scan(body, st,
                                      jnp.arange(steps_per_call))
         return sync_params_from_opt(st), parts

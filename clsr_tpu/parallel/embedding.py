@@ -47,6 +47,7 @@ mesh_compact).  Differential-equal to the single-device engine
 from __future__ import annotations
 
 import contextlib
+import functools
 import threading
 from typing import Optional
 
@@ -67,37 +68,62 @@ def active_flat_batch() -> bool:
     return bool(getattr(_state, "flat", False))
 
 
+def active_row_interleaved() -> bool:
+    """True when model-sharded tables use the interleaved physical row
+    layout (parallel/rowmap.py): owner = id % m, local = id // m."""
+    return bool(getattr(_state, "interleaved", False))
+
+
 def batch_axes(flat: bool):
     return ("data", "model") if flat else ("data",)
 
 
 @contextlib.contextmanager
-def use_sharded_tables(mesh: Optional[Mesh], flat_batch: bool = False):
-    """Route table lookups through collective gathers while tracing."""
+def use_sharded_tables(mesh: Optional[Mesh], flat_batch: bool = False,
+                       interleaved: bool = False):
+    """Route table lookups through collective gathers while tracing.
+    `interleaved` selects the physical row layout the placed tables use
+    (must match place_state — parallel/rowmap.py)."""
     prev = getattr(_state, "mesh", None)
     prev_flat = getattr(_state, "flat", False)
+    prev_il = getattr(_state, "interleaved", False)
     _state.mesh = mesh
     _state.flat = flat_batch if mesh is not None else False
+    _state.interleaved = interleaved if mesh is not None else False
     try:
         yield
     finally:
         _state.mesh = prev
         _state.flat = prev_flat
+        _state.interleaved = prev_il
 
 
-def _local_masked_gather(table_shard: jnp.ndarray, ids: jnp.ndarray
+def _owned_rows_mask(table_shard: jnp.ndarray, ids: jnp.ndarray, m: int,
+                     interleaved: bool):
+    """(local rows, owned-here mask) for logical ids against this
+    shard's [rows, D] block under either physical layout
+    (parallel/rowmap.py)."""
+    from clsr_tpu.parallel.rowmap import owner_local
+
+    rows = table_shard.shape[0]
+    j = jax.lax.axis_index("model")
+    owner, loc = owner_local(ids, m, rows, interleaved)
+    ok = (owner == j) & (ids >= 0) & (ids < m * rows)
+    return jnp.clip(loc, 0, rows - 1), ok
+
+
+def _local_masked_gather(table_shard: jnp.ndarray, ids: jnp.ndarray,
+                         m: int = 1, interleaved: bool = False
                          ) -> jnp.ndarray:
     """Gather rows this shard owns; zeros elsewhere; psum over 'model'."""
-    rows = table_shard.shape[0]
-    lo = jax.lax.axis_index("model") * rows
-    loc = ids - lo
-    ok = (loc >= 0) & (loc < rows)
-    vals = table_shard[jnp.clip(loc, 0, rows - 1)]
+    loc, ok = _owned_rows_mask(table_shard, ids, m, interleaved)
+    vals = table_shard[loc]
     vals = vals * ok[..., None].astype(vals.dtype)
     return jax.lax.psum(vals, "model")
 
 
-def _local_gather_flat(table_shard: jnp.ndarray, ids: jnp.ndarray
+def _local_gather_flat(table_shard: jnp.ndarray, ids: jnp.ndarray,
+                       m: int = 1, interleaved: bool = False
                        ) -> jnp.ndarray:
     """Flat-batch lookup: each device's ids are DISTINCT (batch sharded
     over both axes), so instead of psum'ing full-width masked results,
@@ -107,12 +133,9 @@ def _local_gather_flat(table_shard: jnp.ndarray, ids: jnp.ndarray
     ~half the collective bytes of the replicated-batch psum AND 1/m the
     ids per device (the DLRM-style all-to-all exchange, SURVEY §2.4,
     expressed as all-gather-ids + reduce-scatter-rows)."""
-    rows = table_shard.shape[0]
     ids_all = jax.lax.all_gather(ids, "model")          # [m, b_loc, n]
-    lo = jax.lax.axis_index("model") * rows
-    loc = ids_all - lo
-    ok = (loc >= 0) & (loc < rows)
-    vals = table_shard[jnp.clip(loc, 0, rows - 1)]      # [m, b_loc, n, D]
+    loc, ok = _owned_rows_mask(table_shard, ids_all, m, interleaved)
+    vals = table_shard[loc]                             # [m, b_loc, n, D]
     vals = vals * ok[..., None].astype(vals.dtype)
     return jax.lax.psum_scatter(vals, "model", scatter_dimension=0,
                                 tiled=False)            # [b_loc, n, D]
@@ -129,16 +152,20 @@ def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     if mesh is None or table.shape[0] % mesh.shape["model"] != 0:
         return table[ids]   # replicated table (or single device)
 
+    m = mesh.shape["model"]
+    il = active_row_interleaved()
     flat_ids = ids.reshape(ids.shape[0], -1)
     if active_flat_batch():
         out = jax.shard_map(
-            _local_gather_flat, mesh=mesh,
+            functools.partial(_local_gather_flat, m=m, interleaved=il),
+            mesh=mesh,
             in_specs=(P("model", None), P(("data", "model"), None)),
             out_specs=P(("data", "model"), None, None),
         )(table, flat_ids)
     else:
         out = jax.shard_map(
-            _local_masked_gather, mesh=mesh,
+            functools.partial(_local_masked_gather, m=m, interleaved=il),
+            mesh=mesh,
             in_specs=(P("model", None), P("data", None)),
             out_specs=P("data", None, None),
         )(table, flat_ids)
@@ -154,7 +181,9 @@ def gather_rows_replicated(table: jnp.ndarray, ids: jnp.ndarray
         return table[ids]
 
     out = jax.shard_map(
-        _local_masked_gather, mesh=mesh,
+        functools.partial(_local_masked_gather, m=mesh.shape["model"],
+                          interleaved=active_row_interleaved()),
+        mesh=mesh,
         in_specs=(P("model", None), P()),
         out_specs=P(),
     )(table, ids.reshape(-1))

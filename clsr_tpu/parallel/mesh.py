@@ -136,7 +136,21 @@ def state_sharding(state: TrainState, mesh: Mesh,
 
 
 def place_state(state: TrainState, mesh: Mesh,
-                shard_embeddings: bool = False) -> TrainState:
+                shard_embeddings: bool = False,
+                cfg: Optional[Config] = None) -> TrainState:
+    """Place a host TrainState onto the mesh.
+
+    `cfg` resolves the physical row layout (parallel/rowmap.py): with
+    mesh_row_layout interleaved (the 'auto' default under owner
+    routing), row-sharded leaves are transposed host-side so logical
+    row i lands on shard i % m — every step builder resolves the same
+    flag from the same cfg, so placement and id->row mapping agree.
+    """
+    from clsr_tpu.parallel.rowmap import (permute_state_rows,
+                                          resolve_interleaved)
+    if resolve_interleaved(cfg) and shard_embeddings:
+        state = permute_state_rows(state, mesh, shard_embeddings,
+                                   to_physical=True)
     shardings = state_sharding(state, mesh, shard_embeddings)
 
     # The sharded copy must not share buffers with the source state: the
@@ -165,15 +179,17 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
     GSPMD's full-table all-gather formulation.
     """
     from clsr_tpu.parallel.embedding import use_sharded_tables
+    from clsr_tpu.parallel.rowmap import resolve_interleaved
     from clsr_tpu.training.steps import (make_train_step_fn,
                                          sync_params_from_opt)
     from clsr_tpu.training.losses import LossParts
 
     raw_inner = make_train_step_fn(model, cfg)
+    il = resolve_interleaved(cfg)
 
     def raw(state, batch, rng):
         with use_sharded_tables(mesh if shard_embeddings else None,
-                                flat_batch):
+                                flat_batch, il):
             state, parts = raw_inner(state, batch, rng)
         # pmn fused layout: params tables are a lagging view, refreshed
         # at the jit boundary (shard-local slice of the [N, 3D] rows)
@@ -205,10 +221,12 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
     import jax.numpy as jnp
 
     from clsr_tpu.parallel.embedding import use_sharded_tables
+    from clsr_tpu.parallel.rowmap import resolve_interleaved
     from clsr_tpu.training.steps import (make_train_step_fn,
                                          sync_params_from_opt)
 
     raw = make_train_step_fn(model, cfg)
+    il = resolve_interleaved(cfg)
 
     def multi(st, batches, rng):
         def body(s, inp):
@@ -217,7 +235,7 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
 
         idx = jnp.arange(steps_per_call)
         with use_sharded_tables(mesh if shard_embeddings else None,
-                                flat_batch):
+                                flat_batch, il):
             st, parts = jax.lax.scan(body, st, (idx, batches))
         # pmn fused layout: refresh the lagging params tables once per
         # dispatch (see steps.sync_params_from_opt)
@@ -262,11 +280,13 @@ def make_sharded_eval_step(model, cfg: Config, mesh: Mesh,
     # table context is None but a bare pallas_call would still land in
     # a GSPMD program with sharded batch operands.
     from clsr_tpu.ops.pallas_attention import use_eval_attention_mesh
+    from clsr_tpu.parallel.rowmap import resolve_interleaved
     raw_inner = make_eval_step_fn(model, cfg, allow_pallas=None)
+    il = resolve_interleaved(cfg)
 
     def raw(st, batch):
         with use_sharded_tables(mesh if shard_embeddings else None,
-                                flat_batch), \
+                                flat_batch, il), \
              use_eval_attention_mesh(mesh, flat_batch):
             return raw_inner(st, batch)
 

@@ -108,7 +108,8 @@ class ScoringService:
             flat = resolve_flat_batch(cfg, pads_rows=True)
             self._n_data = n_dev if flat else cfg.data_parallel
             base_state = self.state
-            self.state = place_state(base_state, self._mesh, shard_emb)
+            self.state = place_state(base_state, self._mesh, shard_emb,
+                                     cfg)
             inner = make_sharded_eval_step(self.model, cfg, self._mesh,
                                            base_state, shard_emb, flat)
             mesh = self._mesh

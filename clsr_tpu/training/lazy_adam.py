@@ -76,10 +76,13 @@ class LazyAdamState(flax.struct.PyTreeNode):
     moments: Any
     count: jnp.ndarray
     dense_opt: Any
-    # cumulative count of (source, owner) bucket entries dropped by the
-    # owner-routed mesh merge (mesh_update_routing='owner') because a
-    # per-owner bucket exceeded mesh_owner_capacity; stays 0 on every
-    # other path.  The trainer reads it once per epoch and warns.
+    # cumulative count of (source, owner) bucket entries that exceeded
+    # mesh_owner_capacity in the owner-routed mesh merge
+    # (mesh_update_routing='owner'); stays 0 on every other path.  With
+    # mesh_owner_overflow='fallback' (default) the affected steps take
+    # the exact broadcast merge instead — the counter is pure capacity-
+    # tuning telemetry; with 'drop' the counted entries' gradients were
+    # dropped.  The trainer reads it once per epoch and warns.
     # NOTE: adding this leaf changed the checkpointed state tree —
     # checkpoints saved before round 3 need a one-shot migration
     # (insert a zeros[()] int32 leaf); none are kept in this repo.
@@ -130,6 +133,13 @@ def make_lazy_optimizer(cfg: Config):
     b1, b2, eps = 0.9, 0.999, 1e-8
     lr = cfg.learning_rate
     max_norm = cfg.max_grad_norm if cfg.is_clip_norm else 0.0
+    # physical row layout of model-sharded tables (parallel/rowmap.py):
+    # every id -> (owner, local row) mapping below must match the layout
+    # place_state used — both resolve from the same cfg
+    from clsr_tpu.parallel.rowmap import owner_local, resolve_interleaved
+    interleaved = resolve_interleaved(cfg)
+    overflow_fallback = (getattr(cfg, "mesh_owner_overflow", "fallback")
+                         == "fallback")
 
     def init_fn(params) -> LazyAdamState:
         tables, dense = _split(params)
@@ -199,16 +209,19 @@ def make_lazy_optimizer(cfg: Config):
         off = D if is_pmn(param, mn) else 0
         axes = batch_axes(flat)
 
+        m_axis = mesh.shape["model"]
+
         def local(param_s, grad_s, mn_s, ids_l, t):
             ids_g = jax.lax.all_gather(ids_l, axes, tiled=True)
             ids_sorted = jnp.sort(ids_g)
             first = jnp.concatenate(
                 [jnp.ones((1,), bool), ids_sorted[1:] != ids_sorted[:-1]])
             rows = param_s.shape[0]
-            lo = jax.lax.axis_index("model") * rows
-            loc = ids_sorted - lo
-            ok = (loc >= 0) & (loc < rows)
-            locc = jnp.where(ok, loc, 0)
+            j = jax.lax.axis_index("model")
+            owner, loc = owner_local(ids_sorted, m_axis, rows, interleaved)
+            ok = (owner == j) & (ids_sorted >= 0) \
+                & (ids_sorted < m_axis * rows)
+            locc = jnp.where(ok, jnp.clip(loc, 0, rows - 1), 0)
             g = grad_s[locc].astype(jnp.float32) * ok[:, None]
             if max_norm > 0.0:
                 sumsq = jax.lax.psum(
@@ -308,6 +321,57 @@ def make_lazy_optimizer(cfg: Config):
                 mn.at[tgt].set(jnp.concatenate([m_new, v_new], axis=-1),
                                **kw))
 
+    def _adam_write_pmn(mn_s, loc, ok, g, t, D):
+        """Shared Adam tail of the mesh merges: gather pmn rows at local
+        positions `loc` (masked by `ok`), apply the bias-corrected step
+        to the f32 master lane, scatter back (not-owned/invalid rows
+        drop)."""
+        rows = mn_s.shape[0]
+        locc = jnp.where(ok, jnp.clip(loc, 0, rows - 1), 0)
+        mv = mn_s[locc] * ok[:, None].astype(jnp.float32)
+        m_new = b1 * mv[:, D:2 * D] + (1.0 - b1) * g
+        v_new = b2 * mv[:, 2 * D:] + (1.0 - b2) * g * g
+        m_hat = m_new / (1.0 - b1 ** t)
+        v_hat = v_new / (1.0 - b2 ** t)
+        step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        new_rows = mv[:, :D] - step           # f32 pmn master lane
+        tgt = jnp.where(ok, loc, rows)        # not owned -> dropped
+        pmn_rows = jnp.concatenate([new_rows, m_new, v_new], axis=-1)
+        return mn_s.at[tgt].set(pmn_rows, mode="drop")
+
+    def _merge_broadcast_body(mn_s, gw_b0, ids_b0, gperm, gseg, t,
+                              N, D, shardable, axes, Mc, m):
+        """Shard-local body of the broadcast merge: all-gather the full
+        per-step (id, grad) stream over the batch axes, replay the
+        plan's saved global sort (gperm/gseg) so the per-unique-row sum
+        and the clip norm are the exact single-device semantics, and
+        Adam-write the rows this shard owns.  Used by
+        compact_table_update_mesh and as the owner-routed merge's
+        lossless overflow fallback (mesh_owner_overflow='fallback')."""
+        g_all = jax.lax.all_gather(gw_b0, axes)       # [d, Mi, D]
+        ids_all = jax.lax.all_gather(ids_b0, axes)    # [d, Mi]
+        gflat = g_all.reshape(-1, D).astype(jnp.float32)[gperm]
+        uids = ids_all.reshape(-1)[gperm]
+        g = jax.ops.segment_sum(gflat, gseg, num_segments=Mc,
+                                indices_are_sorted=True)
+        nseg = gseg[-1] + 1
+        valid = jnp.arange(Mc, dtype=jnp.int32) < nseg
+        if max_norm > 0.0:
+            norm = jnp.sqrt(jnp.sum(g * g))   # rows >= nseg are zero
+            g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
+        uid = jax.ops.segment_max(uids, gseg, num_segments=Mc,
+                                  indices_are_sorted=True)
+        safe_uid = jnp.where(valid, uid, 0)
+        rows = mn_s.shape[0]
+        if shardable:
+            j = jax.lax.axis_index("model")
+            owner, loc = owner_local(safe_uid, m, rows, interleaved)
+            ok = valid & (owner == j)
+        else:
+            loc = safe_uid
+            ok = valid
+        return _adam_write_pmn(mn_s, loc, ok, g, t, D)
+
     def compact_table_update_mesh(mesh, param, gw, mn, plan, t,
                                   flat=False):
         """Mesh-compact row update (training/mesh_compact.py, ROADMAP 8).
@@ -330,39 +394,14 @@ def make_lazy_optimizer(cfg: Config):
             raise ValueError("mesh-compact requires the pmn fused layout")
         dM = plan.gperm.shape[0]
         Mc = min(dM, N)     # static: at most N distinct rows can occur
-        shardable = (N % mesh.shape["model"] == 0)
+        m = mesh.shape["model"]
+        shardable = (N % m == 0)
         axes = batch_axes(flat)
 
         def local(mn_s, gw_b, ids_b, gperm, gseg, t):
-            g_all = jax.lax.all_gather(gw_b[0], axes)     # [d, Mi, D]
-            ids_all = jax.lax.all_gather(ids_b[0], axes)  # [d, Mi]
-            gflat = g_all.reshape(-1, D).astype(jnp.float32)[gperm]
-            uids = ids_all.reshape(-1)[gperm]
-            g = jax.ops.segment_sum(gflat, gseg, num_segments=Mc,
-                                    indices_are_sorted=True)
-            nseg = gseg[-1] + 1
-            valid = jnp.arange(Mc, dtype=jnp.int32) < nseg
-            if max_norm > 0.0:
-                norm = jnp.sqrt(jnp.sum(g * g))   # rows >= nseg are zero
-                g = g * jnp.where(norm > max_norm, max_norm / norm, 1.0)
-            uid = jax.ops.segment_max(uids, gseg, num_segments=Mc,
-                                      indices_are_sorted=True)
-            safe_uid = jnp.where(valid, uid, 0)
-            rows = mn_s.shape[0]
-            lo = (jax.lax.axis_index("model") * rows) if shardable else 0
-            loc = safe_uid - lo
-            ok = valid & (loc >= 0) & (loc < rows)
-            locc = jnp.where(ok, loc, 0)
-            mv = mn_s[locc] * ok[:, None].astype(jnp.float32)
-            m_new = b1 * mv[:, D:2 * D] + (1.0 - b1) * g
-            v_new = b2 * mv[:, 2 * D:] + (1.0 - b2) * g * g
-            m_hat = m_new / (1.0 - b1 ** t)
-            v_hat = v_new / (1.0 - b2 ** t)
-            step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
-            new_rows = mv[:, :D] - step           # f32 pmn master lane
-            tgt = jnp.where(ok, loc, rows)        # not owned -> dropped
-            pmn_rows = jnp.concatenate([new_rows, m_new, v_new], axis=-1)
-            return mn_s.at[tgt].set(pmn_rows, mode="drop")
+            return _merge_broadcast_body(mn_s, gw_b[0], ids_b[0], gperm,
+                                         gseg, t, N, D, shardable, axes,
+                                         Mc, m)
 
         mn_spec = P("model", None) if shardable else P()
         ax = axes if flat else "data"
@@ -389,13 +428,15 @@ def make_lazy_optimizer(cfg: Config):
         instead
           1. merges its own sorted w-space gradients into per-unique
              (uid, gsum) runs (a local segment_sum — no collective);
-          2. buckets the runs by owning model shard (owner = uid //
-             rows_per_shard; the sorted runs are owner-contiguous, so
-             bucket ranks are a cumsum) into STATIC [m, C] buckets,
+          2. buckets the runs by owning model shard (owner per the
+             physical row layout, parallel/rowmap.py: id % m interleaved
+             / id // rows contiguous; ranks via per-owner running
+             counts) into STATIC [m, C] buckets,
              C = ceil(capacity_factor * Mi / m) slots (empty slots carry
-             a sentinel id = N with zero grad; entries past C are
-             DROPPED and counted — a runtime-ragged all_to_all cannot be
-             static-shaped, so capacity is the honest knob);
+             a sentinel id = N with zero grad; a runtime-ragged
+             all_to_all cannot be static-shaped, so capacity is the
+             honest knob — overflow triggers the lossless broadcast
+             fallback below, or drops under mesh_owner_overflow='drop');
           3. flat mode: one all_to_all over 'model' delivers each column
              only its owned buckets; non-flat mode the per-column select
              is local (streams are replicated over 'model');
@@ -411,10 +452,23 @@ def make_lazy_optimizer(cfg: Config):
 
         Identical math to the broadcast merge up to float reassociation
         order — differential-tested in tests/test_owner_routing.py.
-        Caveat: ids skewed into one shard's range (e.g. CLSR's
-        frequency-ordered vocabs at small m) need a higher
-        capacity_factor; overflow is returned (psum'd count) and
-        accumulated in LazyAdamState.route_overflow.  pmn layout only.
+
+        Overflow is LOSSLESS by default (mesh_owner_overflow=
+        'fallback'): the psum'd overflow count is uniform across
+        devices, so a lax.cond can route the WHOLE table update through
+        the exact broadcast merge on any step where a bucket would
+        overflow — the counter (LazyAdamState.route_overflow) becomes
+        pure telemetry for capacity tuning.  'drop' keeps the round-3
+        semantics (overflowed entries dropped that step) and a compiled
+        program with no full-stream collective anywhere.
+
+        Ownership skew: with the default interleaved row layout
+        (cfg.mesh_row_layout='auto' + owner routing, parallel/rowmap.py)
+        owner = id % m, so CLSR's frequency-ordered vocabs spread their
+        hot rows across ALL shards (near-uniform buckets, measured in
+        scripts/owner_occupancy.py); the contiguous layout's structural
+        shard-0 hotspot (VERDICT r3 weak #4) only exists with
+        mesh_row_layout='contiguous'.  pmn layout only.
         """
         from jax.sharding import PartitionSpec as P
 
@@ -430,8 +484,10 @@ def make_lazy_optimizer(cfg: Config):
         Mi = int(plan.sorted_ids.shape[1])
         C = max(1, min(Mi, -(-int(capacity_factor * Mi) // m)))
         axes = batch_axes(flat)
+        dM = plan.gperm.shape[0]
+        Mc_b = min(dM, N)   # fallback (broadcast) merge's segment cap
 
-        def local(mn_s, gw_b, ids_b, t):
+        def local(mn_s, gw_b, ids_b, gperm, gseg, t):
             ids = ids_b[0]                        # [Mi] sorted ascending
             g0 = gw_b[0].astype(jnp.float32)      # [Mi, D]
             # 1. local per-unique merge over the sorted runs
@@ -445,16 +501,18 @@ def make_lazy_optimizer(cfg: Config):
             uid = jax.ops.segment_max(ids, seg, num_segments=Mi,
                                       indices_are_sorted=True)
             uid = jnp.where(run_ok, uid, N)       # sentinel for empty runs
-            # 2. owner-contiguous bucketing (runs sorted by uid =>
-            #    nondecreasing owner; rank within bucket via cumsum)
-            owner = jnp.clip(uid // rows, 0, m - 1)
-            counts = jax.ops.segment_sum(
-                run_ok.astype(jnp.int32), owner, num_segments=m,
-                indices_are_sorted=True)
-            starts = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32),
-                 jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-            rank = jnp.arange(Mi, dtype=jnp.int32) - starts[owner]
+            # 2. bucket runs by owning shard.  The owner function follows
+            #    the physical row layout (parallel/rowmap.py): interleaved
+            #    visits owners round-robin in uid order, so bucket ranks
+            #    are per-owner running counts (a [Mi, m] one-hot cumsum —
+            #    owner-contiguity is not assumed; identical ranks for the
+            #    contiguous layout, where runs ARE owner-sorted)
+            owner, _ = owner_local(uid, m, rows, interleaved)
+            owner = jnp.clip(owner, 0, m - 1)     # sentinel uid=N safe
+            oh = ((owner[:, None] == jnp.arange(m, dtype=jnp.int32)[None])
+                  & run_ok[:, None])
+            cum = jnp.cumsum(oh.astype(jnp.int32), axis=0)
+            rank = jnp.take_along_axis(cum, owner[:, None], axis=1)[:, 0] - 1
             in_cap = rank < C
             send_ok = run_ok & in_cap
             tgt = jnp.where(send_ok, owner * C + rank, m * C)
@@ -463,64 +521,76 @@ def make_lazy_optimizer(cfg: Config):
             send_g = jnp.zeros((m * C, D), jnp.float32).at[tgt].set(
                 gsum * send_ok[:, None], mode="drop")
             j = jax.lax.axis_index("model")
-            # 3. route buckets to their owning model shard
             if flat:
                 # every device's stream is distinct: count all drops here
                 ovf = jnp.sum((run_ok & ~in_cap).astype(jnp.int32))
-                rid = jax.lax.all_to_all(
-                    send_ids.reshape(m, C), "model",
-                    split_axis=0, concat_axis=0)         # [m, C]
-                rg = jax.lax.all_to_all(
-                    send_g.reshape(m, C, D), "model",
-                    split_axis=0, concat_axis=0)         # [m, C, D]
             else:
-                # streams are replicated over 'model': each column keeps
-                # only its own bucket (and counts only its own drops)
+                # streams are replicated over 'model': count each drop
+                # once, at its owner's column
                 ovf = jnp.sum(
                     (run_ok & ~in_cap & (owner == j)).astype(jnp.int32))
-                rid = jax.lax.dynamic_slice(send_ids, (j * C,), (C,))
-                rg = jax.lax.dynamic_slice(send_g, (j * C, 0), (C, D))
+            # psum'd => UNIFORM across devices: safe lax.cond predicate
             ovf = jax.lax.psum(jax.lax.psum(ovf, "data"), "model")
-            # 4. collect the owned buckets from the other batch shards
-            gid = jax.lax.all_gather(rid, "data").reshape(-1)
-            gg = jax.lax.all_gather(rg, "data").reshape(-1, D)
-            # 5. merge: exact global per-unique-row sums for owned rows
-            p = jnp.argsort(gid)                  # sentinels (=N) last
-            sid = gid[p]
-            sg = gg[p]
-            K = sid.shape[0]
-            # static cap: at most N distinct real rows + 1 sentinel run
-            Kc = min(K, N + 1)
-            fg = jnp.concatenate(
-                [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-            gsg = jnp.cumsum(fg.astype(jnp.int32)) - 1
-            gm = jax.ops.segment_sum(sg, gsg, num_segments=Kc,
-                                     indices_are_sorted=True)
-            gu = jax.ops.segment_max(sid, gsg, num_segments=Kc,
-                                     indices_are_sorted=True)
-            nseg = gsg[-1] + 1
-            valid = ((jnp.arange(Kc, dtype=jnp.int32) < nseg)
-                     & (gu >= 0) & (gu < N))
-            vf = valid[:, None].astype(jnp.float32)
-            if max_norm > 0.0:
-                # ownership partitions the unique-id set: the exact
-                # global clip norm is the psum of disjoint partials
-                sumsq = jax.lax.psum(jnp.sum(gm * gm * vf), "model")
-                norm = jnp.sqrt(sumsq)
-                gm = gm * jnp.where(norm > max_norm, max_norm / norm, 1.0)
-            loc = jnp.where(valid, gu, 0) - j * rows
-            ok = valid & (loc >= 0) & (loc < rows)
-            locc = jnp.where(ok, loc, 0)
-            mv = mn_s[locc] * ok[:, None].astype(jnp.float32)
-            m_new = b1 * mv[:, D:2 * D] + (1.0 - b1) * gm
-            v_new = b2 * mv[:, 2 * D:] + (1.0 - b2) * gm * gm
-            m_hat = m_new / (1.0 - b1 ** t)
-            v_hat = v_new / (1.0 - b2 ** t)
-            step = lr * m_hat / (jnp.sqrt(v_hat) + eps)
-            new_rows = mv[:, :D] - step           # f32 pmn master lane
-            tgt2 = jnp.where(ok, loc, rows)       # invalid -> dropped
-            pmn_rows = jnp.concatenate([new_rows, m_new, v_new], axis=-1)
-            return mn_s.at[tgt2].set(pmn_rows, mode="drop"), ovf
+
+            def owner_route(_):
+                # 3. route buckets to their owning model shard
+                if flat:
+                    rid = jax.lax.all_to_all(
+                        send_ids.reshape(m, C), "model",
+                        split_axis=0, concat_axis=0)         # [m, C]
+                    rg = jax.lax.all_to_all(
+                        send_g.reshape(m, C, D), "model",
+                        split_axis=0, concat_axis=0)         # [m, C, D]
+                else:
+                    rid = jax.lax.dynamic_slice(send_ids, (j * C,), (C,))
+                    rg = jax.lax.dynamic_slice(send_g, (j * C, 0), (C, D))
+                # 4. collect the owned buckets from the other batch shards
+                gid = jax.lax.all_gather(rid, "data").reshape(-1)
+                gg = jax.lax.all_gather(rg, "data").reshape(-1, D)
+                # 5. merge: exact global per-unique-row sums for owned rows
+                p = jnp.argsort(gid)                  # sentinels (=N) last
+                sid = gid[p]
+                sg = gg[p]
+                K = sid.shape[0]
+                # static cap: at most N distinct real rows + 1 sentinel run
+                Kc = min(K, N + 1)
+                fg = jnp.concatenate(
+                    [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+                gsg = jnp.cumsum(fg.astype(jnp.int32)) - 1
+                gm = jax.ops.segment_sum(sg, gsg, num_segments=Kc,
+                                         indices_are_sorted=True)
+                gu = jax.ops.segment_max(sid, gsg, num_segments=Kc,
+                                         indices_are_sorted=True)
+                nseg = gsg[-1] + 1
+                valid = ((jnp.arange(Kc, dtype=jnp.int32) < nseg)
+                         & (gu >= 0) & (gu < N))
+                vf = valid[:, None].astype(jnp.float32)
+                gmc = gm
+                if max_norm > 0.0:
+                    # ownership partitions the unique-id set: the exact
+                    # global clip norm is the psum of disjoint partials
+                    sumsq = jax.lax.psum(jnp.sum(gm * gm * vf), "model")
+                    norm = jnp.sqrt(sumsq)
+                    gmc = gm * jnp.where(norm > max_norm,
+                                         max_norm / norm, 1.0)
+                own2, loc = owner_local(jnp.where(valid, gu, 0), m, rows,
+                                        interleaved)
+                ok = valid & (own2 == j)
+                return _adam_write_pmn(mn_s, loc, ok, gmc, t, D)
+
+            def broadcast_fallback(_):
+                # lossless overflow path: the exact broadcast merge for
+                # this step (same math as compact_table_update_mesh)
+                return _merge_broadcast_body(mn_s, gw_b[0], ids_b[0],
+                                             gperm, gseg, t, N, D, True,
+                                             axes, Mc_b, m)
+
+            if overflow_fallback:
+                new_mn_s = jax.lax.cond(ovf > 0, broadcast_fallback,
+                                        owner_route, None)
+            else:
+                new_mn_s = owner_route(None)
+            return new_mn_s, ovf
 
         ax = axes if flat else "data"
         # check_vma off as in the broadcast merge: the routed streams
@@ -529,10 +599,10 @@ def make_lazy_optimizer(cfg: Config):
         new_mn, ovf = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P("model", None), P(ax, None, None), P(ax, None),
-                      P()),
+                      P(), P(), P()),
             out_specs=(P("model", None), P()),
             check_vma=False,
-        )(mn, gw, plan.sorted_ids, t)
+        )(mn, gw, plan.sorted_ids, plan.gperm, plan.gseg, t)
         return param, new_mn, ovf
 
     def finish_update(params, dense_grads, state, per_table):

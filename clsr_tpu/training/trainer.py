@@ -57,7 +57,8 @@ class Trainer:
             flat = resolve_flat_batch(cfg)
             self._flat_batch = flat
             base_state = self.state
-            self.state = place_state(base_state, self._mesh, shard_emb)
+            self.state = place_state(base_state, self._mesh, shard_emb,
+                                     cfg)
             self.train_step = make_sharded_train_step(
                 model, cfg, self._mesh, base_state, shard_emb, flat)
             self._batch_sharding = batch_sharding(self._mesh, flat)
@@ -336,12 +337,20 @@ class Trainer:
                 if isinstance(self.state.opt_state, LazyAdamState):
                     ovf = int(jax.device_get(
                         self.state.opt_state.route_overflow))
-                    if ovf:
+                    if ovf and cfg.mesh_owner_overflow == "drop":
                         self.log(
                             f"WARNING: owner-routed update merge dropped "
                             f"{ovf} gradient bucket entries so far "
                             f"(mesh_owner_capacity too small for this id "
-                            f"distribution — raise it)")
+                            f"distribution — raise it, or use "
+                            f"mesh_owner_overflow='fallback')")
+                    elif ovf:
+                        self.log(
+                            f"NOTE: owner-routed update merge fell back "
+                            f"to the broadcast merge for {ovf} bucket "
+                            f"entries so far (lossless; raise "
+                            f"mesh_owner_capacity to keep the O(M/m) "
+                            f"wire bytes on those steps)")
 
             progress = False
             if valid_res[cfg.eval_metric] > best_metric:
@@ -359,16 +368,44 @@ class Trainer:
         return self
 
     # ------------------------------------------------------------------
+    def _interleaved(self) -> bool:
+        from clsr_tpu.parallel.rowmap import resolve_interleaved
+        return (self._mesh is not None and self._shard_emb
+                and resolve_interleaved(self.cfg))
+
     def save(self, path: str) -> None:
+        """Checkpoints ALWAYS store the logical (id-ordered) row layout:
+        with the interleaved mesh layout (parallel/rowmap.py) the
+        row-sharded leaves are de-interleaved host-side first, so a
+        checkpoint written on any topology/layout restores on any
+        other."""
         path = os.path.abspath(path)
         ckpt = self._ckpt or ocp.StandardCheckpointer()
-        ckpt.save(path, self.state, force=True)
+        state = self.state
+        if self._interleaved():
+            from clsr_tpu.parallel.rowmap import permute_state_rows
+            state = permute_state_rows(
+                jax.device_get(state), self._mesh, self._shard_emb,
+                to_physical=False)
+        ckpt.save(path, state, force=True)
         ckpt.wait_until_finished()
 
     def load(self, path: str) -> None:
         path = os.path.abspath(path)
         ckpt = self._ckpt or ocp.StandardCheckpointer()
-        self.state = ckpt.restore(path, self.state)
+        if self._interleaved():
+            # restore into a LOGICAL host template, then re-place with
+            # the interleave (place_state applies it from cfg)
+            from clsr_tpu.parallel.mesh import place_state
+            from clsr_tpu.parallel.rowmap import permute_state_rows
+            host = permute_state_rows(
+                jax.device_get(self.state), self._mesh, self._shard_emb,
+                to_physical=False)
+            restored = ckpt.restore(path, host)
+            self.state = place_state(restored, self._mesh,
+                                     self._shard_emb, self.cfg)
+        else:
+            self.state = ckpt.restore(path, self.state)
 
     def load_latest(self, model_dir: str) -> None:
         """tf.train.latest_checkpoint equivalent (sequential.py:352-353)."""

@@ -64,6 +64,16 @@ SCALES = {
                            max_seq_length=50, batch_size=512,
                            hidden_size=40, item_embedding_dim=32,
                            cate_embedding_dim=8, user_embedding_dim=40),
+    # scarce-data population (VERDICT r3 item 6): 10-20 events/user —
+    # per-user evidence too thin for the task signal alone (the paper's
+    # cold-ish users).  4x the users keeps total train rows comparable
+    # to 'taobao' (~300k), so any margin change is attributable to
+    # per-user scarcity, not dataset size
+    "taobao_scarce": dict(n_users=20000, n_items=1500, n_cates=50,
+                          min_events=10, max_events=20, burst_len=4,
+                          max_seq_length=50, batch_size=512,
+                          hidden_size=40, item_embedding_dim=32,
+                          cate_embedding_dim=8, user_embedding_dim=40),
     "kuaishou": dict(n_users=1500, n_items=1500, n_cates=50,
                      min_events=200, max_events=300, burst_len=10,
                      max_seq_length=250, batch_size=256,
@@ -88,6 +98,11 @@ VARIANTS = {
     "no_contrastive": {"contrastive_loss_weight": 0.0,
                        "discrepancy_loss_weight": 0.0},
     "manual_alpha": {"manual_alpha": True, "manual_alpha_value": 0.5},
+    # the paper's supervised fusion-weight loss (attn_loss_weight,
+    # deeprec_utils.py:425) — defined but never added by the reference;
+    # the repo built it round 1 (losses.py:attn_loss_fn) and VERDICT r3
+    # item 6 asks for it in an ablation arm
+    "attn_loss": {"use_attn_loss": True},
 }
 
 
@@ -186,23 +201,26 @@ def summarize(out: str):
             print(f"{v:18s} GAUC mean={np.mean(g):.4f} "
                   f"std={np.std(g, ddof=1) if len(g) > 1 else 0:.4f} "
                   f"n={len(g)}")
-        pair_seeds = [s for s in seeds
-                      if (scale, s, "full_triplet") in by
-                      and (scale, s, "no_contrastive") in by]
-        if len(pair_seeds) >= 2:
+        # paired margins: every variant vs the no-aux-loss control
+        for v in variants:
+            if v == "no_contrastive":
+                continue
+            pair_seeds = [s for s in seeds
+                          if (scale, s, v) in by
+                          and (scale, s, "no_contrastive") in by]
+            if len(pair_seeds) < 2:
+                continue
             margins = np.array(
-                [by[(scale, s, "full_triplet")]["wauc"]
+                [by[(scale, s, v)]["wauc"]
                  - by[(scale, s, "no_contrastive")]["wauc"]
                  for s in pair_seeds])
             sem = margins.std(ddof=1) / np.sqrt(len(margins))
-            print(f"paired margin full - no_contrastive: "
+            print(f"paired {v} - no_contrastive: "
                   f"mean={margins.mean():+.4f} std={margins.std(ddof=1):.4f} "
                   f"sem={sem:.4f} wins={int((margins > 0).sum())}/"
                   f"{len(margins)} | mean > 2*sem: "
-                  f"{margins.mean() > 2 * sem}")
-            print("per-seed margins:",
-                  {s: round(float(m), 4)
-                   for s, m in zip(pair_seeds, margins)})
+                  f"{margins.mean() > 2 * sem} | per-seed "
+                  f"{ {s: round(float(m), 4) for s, m in zip(pair_seeds, margins)} }")
 
 
 def main():
