@@ -107,6 +107,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "adagrad/ftrl/padagrad/pgd/...)")
     p.add_argument("--train_steps_per_call", type=int, default=None,
                    help="K optimizer steps per device dispatch")
+    p.add_argument("--autosave_every_calls", type=int, default=0,
+                   help="persist full run state every N train dispatches "
+                        "for exact mid-epoch resume (resident path; "
+                        "training/checkpoint.py)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a killed run from <model_dir>/autosave "
+                        "(bit-identical continuation)")
     p.add_argument("--resident_data", default="auto",
                    choices=["auto", "on", "off"],
                    help="device-resident train data (data/resident.py)")
@@ -205,6 +212,7 @@ def make_config(args) -> "Config":
         mesh_row_layout=args.mesh_row_layout,
         mesh_flat_batch=args.mesh_flat_batch,
         resident_data=args.resident_data,
+        autosave_every_calls=args.autosave_every_calls,
         **{k: getattr(args, k) for k in
            ("optimizer", "train_steps_per_call", "compute_dtype",
             "embedding_dtype", "attention_block_size")
@@ -329,7 +337,7 @@ def main(argv=None) -> int:
         return 0
 
     trainer.fit(loaders["train"], loaders["valid"],
-                valid_num_ngs=cfg.valid_num_ngs)
+                valid_num_ngs=cfg.valid_num_ngs, resume=args.resume)
     if trainer.best_epoch and cfg.model_dir:
         try:
             trainer.load_latest(cfg.model_dir)

@@ -266,6 +266,13 @@ class Config:
     # — utils/device.py); tail batches run single-step, so no examples
     # are dropped at any K.
     train_steps_per_call: int = 32
+    autosave_every_calls: int = 0   # > 0: persist full run state (model
+                                    # + optimizer + epoch-loop position,
+                                    # training/checkpoint.py) to
+                                    # <model_dir>/autosave every N train
+                                    # dispatches on the resident path;
+                                    # Trainer.fit(resume=True) continues
+                                    # a killed run bit-for-bit
     data_parallel: int = 1          # mesh axis 'data'
     model_parallel: int = 1         # mesh axis 'model' (row-sharded tables)
     mesh_flat_batch: str = "auto"   # 'auto' | 'on' | 'off' — shard the
@@ -418,6 +425,13 @@ class Config:
             raise ValueError(
                 f"mesh_owner_capacity must be > 0, got "
                 f"{self.mesh_owner_capacity}")
+        if self.autosave_every_calls < 0:
+            raise ValueError(
+                f"autosave_every_calls must be >= 0, got "
+                f"{self.autosave_every_calls}")
+        if self.autosave_every_calls > 0 and not self.model_dir:
+            raise ValueError(
+                "autosave_every_calls > 0 requires model_dir")
         if self.mesh_owner_overflow not in ("fallback", "drop"):
             raise ValueError(
                 f"mesh_owner_overflow must be fallback/drop, got "

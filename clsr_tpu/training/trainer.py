@@ -16,6 +16,7 @@ import time
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -143,12 +144,19 @@ class Trainer:
         return est <= cfg.resident_max_bytes
 
     def _resident_epoch(self, train_loader: SequenceLoader, rng,
-                        np_rng, step0: int):
+                        np_rng, step0: int, resume_info=None):
         """One training epoch over device-resident data.
 
         Loss totals accumulate ON DEVICE; the host syncs once per
         cfg.show_step window for logging and once at epoch end — never per
         call (a device->host read through the dev-chip relay costs ~140ms).
+
+        With cfg.autosave_every_calls > 0, the full run state (model +
+        optimizer + epoch-loop position) is persisted to
+        <model_dir>/autosave every N dispatches (training/checkpoint.py);
+        `resume_info` (from Trainer.fit(resume=True)) re-enters the loop
+        at the saved call boundary with the saved permutation and rng —
+        the continued run is bit-identical to an uninterrupted one.
 
         Returns (rng, n_steps, epoch_loss).
         """
@@ -180,12 +188,27 @@ class Trainer:
                         self.model, cfg, cfg.train_steps_per_call)
         B = cfg.batch_size
         K = cfg.train_steps_per_call if self._resident_multi else 1
-        eligible = np.flatnonzero(
-            train_loader.view.lengths >= cfg.min_seq_length)
-        perm, n_use, n_calls, n_tail = epoch_permutation(
-            eligible, np_rng, B, K, cfg.drop_remainder_min)
-        if self._resident_multi is None:
-            n_calls, n_tail = 0, n_calls
+        calls_done = 0
+        total = data_total = None
+        if resume_info is not None and resume_info["n_calls"] >= 0:
+            # mid-epoch resume: the saved permutation/layout + loss
+            # accumulators; rng/np_rng were restored by fit()
+            perm = resume_info["perm"]
+            n_use, n_calls, n_tail = (resume_info["n_use"],
+                                      resume_info["n_calls"],
+                                      resume_info["n_tail"])
+            calls_done = resume_info["calls_done"]
+            if calls_done:
+                total = jnp.asarray(resume_info["total"], jnp.float32)
+                data_total = jnp.asarray(resume_info["data_total"],
+                                         jnp.float32)
+        else:
+            eligible = np.flatnonzero(
+                train_loader.view.lengths >= cfg.min_seq_length)
+            perm, n_use, n_calls, n_tail = epoch_permutation(
+                eligible, np_rng, B, K, cfg.drop_remainder_min)
+            if self._resident_multi is None:
+                n_calls, n_tail = 0, n_calls
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             perm_dev = jax.device_put(
@@ -194,7 +217,6 @@ class Trainer:
             perm_dev = jax.device_put(perm)
         n_dev = np.int32(n_use)
 
-        total = data_total = None
         step, n_steps = step0, 0
 
         def account(n_new, parts):
@@ -214,26 +236,55 @@ class Trainer:
                 self.summary.scalars(
                     step, {"loss": loss_avg, "data_loss": dl_avg})
 
-        for c in range(n_calls):
+        epoch = getattr(self, "_cur_epoch", 0)
+
+        def autosave(done):
+            if not cfg.autosave_every_calls:
+                return
+            if done % cfg.autosave_every_calls:
+                return
+            self._autosave(epoch, done, step, rng, np_rng, perm, n_use,
+                           n_calls, n_tail, total, data_total)
+
+        for c in range(min(calls_done, n_calls), n_calls):
             rng, sub = jax.random.split(rng)
             self.state, parts = self._resident_multi(
                 self.state, self._resident, perm_dev, n_dev,
                 np.int32(c * K * B), sub)
             account(K, parts)
-        for t in range(n_tail):
+            autosave(c + 1)
+        for t in range(max(0, calls_done - n_calls), n_tail):
             rng, sub = jax.random.split(rng)
             self.state, parts = self._resident_single(
                 self.state, self._resident, perm_dev, n_dev,
                 np.int32((n_calls * K + t) * B), sub)
             account(1, parts)
+            autosave(n_calls + t + 1)
         epoch_loss = float(total) if total is not None else 0.0
         return rng, n_steps, epoch_loss
+
+    def _autosave(self, epoch, calls_done, step, rng, np_rng, perm,
+                  n_use, n_calls, n_tail, total, data_total) -> None:
+        """Persist full run state for exact mid-epoch resume
+        (training/checkpoint.py; VERDICT r3 item 7)."""
+        from clsr_tpu.training.checkpoint import save_run_state
+        auto = os.path.join(self.cfg.model_dir, "autosave")
+        self.save(os.path.join(auto, "state"))
+        save_run_state(
+            auto, epoch=epoch, calls_done=calls_done, step=step, rng=rng,
+            np_rng=np_rng, perm=np.asarray(perm), n_use=n_use,
+            n_calls=n_calls, n_tail=n_tail,
+            total=float(total) if total is not None else 0.0,
+            data_total=(float(data_total) if data_total is not None
+                        else 0.0),
+            best_metric=self._best_metric, best_epoch=self.best_epoch)
 
     # ------------------------------------------------------------------
     def fit(self, train_loader: SequenceLoader,
             valid_loader: SequenceLoader,
             valid_num_ngs: Optional[int] = None,
-            np_rng: Optional[np.random.RandomState] = None) -> "Trainer":
+            np_rng: Optional[np.random.RandomState] = None,
+            resume: bool = False) -> "Trainer":
         cfg = self.cfg
         if valid_num_ngs is None:
             valid_num_ngs = cfg.valid_num_ngs
@@ -252,8 +303,35 @@ class Trainer:
         best_metric = 0.0
         self.best_epoch = 0
         step = 0
+        start_epoch = 1
         use_resident = self._use_resident(train_loader)
-        for epoch in range(1, cfg.epochs + 1):
+        resume_info = None
+        if resume:
+            if not cfg.model_dir:
+                raise ValueError("resume requires model_dir")
+            from clsr_tpu.training.checkpoint import load_run_state
+            auto = os.path.join(cfg.model_dir, "autosave")
+            resume_info = load_run_state(auto)
+            if resume_info is not None:
+                if not use_resident:
+                    raise ValueError(
+                        "mid-epoch resume is supported on the resident "
+                        "data path only (resident_data=auto/on)")
+                self.load(os.path.join(auto, "state"))
+                np_rng = resume_info["np_rng"]
+                rng = resume_info["rng"]
+                best_metric = resume_info["best_metric"]
+                self.best_epoch = resume_info["best_epoch"]
+                step = resume_info["step"]
+                start_epoch = resume_info["epoch"]
+                self.log(f"resuming at epoch {start_epoch}, call "
+                         f"{resume_info['calls_done']} (step {step})")
+            else:
+                self.log("resume requested but no autosave found — "
+                         "starting fresh")
+        self._best_metric = best_metric
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            self._cur_epoch = epoch
             t0 = time.time()
             epoch_loss = 0.0
             n_steps = 0
@@ -277,7 +355,9 @@ class Trainer:
             K = cfg.train_steps_per_call
             if use_resident:
                 rng, n_steps, epoch_loss = self._resident_epoch(
-                    train_loader, rng, np_rng, step)
+                    train_loader, rng, np_rng, step,
+                    resume_info=(resume_info if epoch == start_epoch
+                                 else None))
                 step += n_steps
             elif self._multi_step is not None:
                 # epoch-permute-once zero-copy stacked views; H2D upload
@@ -355,6 +435,7 @@ class Trainer:
             progress = False
             if valid_res[cfg.eval_metric] > best_metric:
                 best_metric = valid_res[cfg.eval_metric]
+                self._best_metric = best_metric
                 self.best_epoch = epoch
                 progress = True
             elif cfg.early_stop > 0 and epoch - self.best_epoch >= cfg.early_stop:
@@ -364,6 +445,20 @@ class Trainer:
             if cfg.save_model and cfg.model_dir and progress:
                 self.save(os.path.join(cfg.model_dir, f"epoch_{epoch}"))
 
+            if use_resident and cfg.autosave_every_calls and \
+                    epoch < cfg.epochs:
+                # epoch boundary marker (n_calls = -1: next epoch draws
+                # its permutation fresh from the restored np_rng) — covers
+                # a kill during eval / the next epoch's first calls
+                self._autosave(epoch + 1, 0, step, rng, np_rng,
+                               np.zeros(0, np.int32), -1, -1, -1,
+                               None, None)
+
+        if cfg.autosave_every_calls and cfg.model_dir:
+            # a completed fit must not be resumed into
+            import shutil
+            shutil.rmtree(os.path.join(cfg.model_dir, "autosave"),
+                          ignore_errors=True)
         self.log(f"best epoch: {self.best_epoch}")
         return self
 
@@ -389,10 +484,13 @@ class Trainer:
                 to_physical=False)
         ckpt.save(path, state, force=True)
         ckpt.wait_until_finished()
+        from clsr_tpu.training.checkpoint import write_meta
+        write_meta(path)   # schema version sidecar (checkpoint.py)
 
     def load(self, path: str) -> None:
         path = os.path.abspath(path)
         ckpt = self._ckpt or ocp.StandardCheckpointer()
+        from clsr_tpu.training.checkpoint import restore_with_migration
         if self._interleaved():
             # restore into a LOGICAL host template, then re-place with
             # the interleave (place_state applies it from cfg)
@@ -401,11 +499,15 @@ class Trainer:
             host = permute_state_rows(
                 jax.device_get(self.state), self._mesh, self._shard_emb,
                 to_physical=False)
-            restored = ckpt.restore(path, host)
+            restored, defaulted = restore_with_migration(ckpt, path, host)
             self.state = place_state(restored, self._mesh,
                                      self._shard_emb, self.cfg)
         else:
-            self.state = ckpt.restore(path, self.state)
+            self.state, defaulted = restore_with_migration(
+                ckpt, path, self.state)
+        if defaulted:
+            self.log(f"checkpoint {path} predates schema leaves "
+                     f"{defaulted}; migrated with initial values")
 
     def load_latest(self, model_dir: str) -> None:
         """tf.train.latest_checkpoint equivalent (sequential.py:352-353)."""
