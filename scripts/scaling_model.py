@@ -1,0 +1,204 @@
+"""HLO-derived multi-chip / multi-host scaling model (VERDICT r3 item 4).
+
+BASELINE.md carries a ">=90% scaling efficiency to 2 hosts" target that
+a one-chip environment cannot measure.  The strongest admissible
+evidence is a model whose BYTE COUNTS are not hand-math but extracted
+from the compiled sharded programs themselves: this script compiles the
+production train step on a virtual CPU mesh at each topology, walks the
+HLO for every collective (utils/hlo_bytes.py — ring cost model, mesh-
+axis classification, loop/cond tagging), and combines the per-device
+wire bytes with published interconnect bandwidths and the MEASURED
+single-chip step times (docs/RESULTS_r3.md) into predicted scaling
+efficiencies.
+
+Model assumptions (stated, overridable):
+  * ICI ring-effective bandwidth per chip: --ici_gbps (default 90 GB/s
+    — v5e-class; the public scaling-book's ring-bandwidth accounting)
+  * DCN per host: --dcn_gbps (default 25 GB/s = 200 Gbps NIC)
+  * hosts split the DATA axis contiguously (process-major device order,
+    parallel/distributed.py) => 'data'- and full-span collectives cross
+    DCN on multi-host rows; 'model'-axis collectives ride ICI
+  * collective payloads scale LINEARLY with per-device batch rows
+    (everything the update merge / lookups ship is proportional to the
+    per-shard id count Mi = b*(L+G); validated in
+    tests/test_scaling_model.py), so programs are compiled at a small
+    per-device batch and bytes rescaled to the production batch
+  * loop-body collectives (XLA hoists the dense-grad all-reduce into
+    the RNN backward scan) are multiplied by the scan trip count L
+  * weak scaling keeps the measured per-device batch (the production
+    throughput regime): eff = t1 / (t1 + t_coll)
+  * strong scaling splits the fixed global batch: per-device compute
+    t1/n floored by the sequential-scan latency floor (~7us/iter,
+    docs/RESULTS_r3.md), collective bytes shrink 1/n with the shard
+
+Usage:
+  python scripts/scaling_model.py [--configs taobao,kuaishou] [--md]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# measured single-chip honest step times (docs/RESULTS_r3.md)
+CONFIGS = {
+    "taobao": dict(
+        n_items=100_000, n_cates=5_000, n_users=8_000, L=50, B_dev=512,
+        step_ms=5.61,        # 91,227 ex/s at B=512, f32 (BENCH_r03)
+        scan_iters=150,      # 3 RNN scans x L
+        meshes=[(2, 1), (4, 1), (8, 1)],
+        routing="broadcast",
+    ),
+    "kuaishou": dict(
+        n_items=500_000, n_cates=2_000, n_users=100_000, L=250, B_dev=256,
+        step_ms=15.0,        # 17,067 ex/s at B=256, f32 (RESULTS_r3)
+        scan_iters=750,
+        meshes=[(1, 2), (2, 2), (4, 2)],
+        routing="owner",     # the O(M/m) merge is the multi-chip design
+    ),
+}
+
+B_COMPILE = 64      # per-device rows at compile time (bytes rescale)
+
+
+def compile_and_count(name: str, sc: dict, d: int, m: int):
+    """Compile the sharded train step at this topology on the virtual
+    CPU mesh and return the per-device wire-byte summary, rescaled from
+    the compile-time batch to the production per-device batch."""
+    import jax
+
+    from __graft_entry__ import _taobao_cfg, _tiny_batch
+    from clsr_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        make_sharded_train_step,
+                                        resolve_flat_batch, state_sharding)
+    from clsr_tpu.models.registry import get_model_class
+    from clsr_tpu.training.state import create_train_state
+    from clsr_tpu.utils.hlo_bytes import collect_collectives, summarize
+
+    n_dev = d * m
+    B = B_COMPILE * n_dev
+    shard_emb = m > 1
+    cfg = _taobao_cfg(
+        batch_size=B, optimizer="lazyadam", max_seq_length=sc["L"],
+        data_parallel=d, model_parallel=m,
+        mesh_update_routing=sc["routing"],
+        # 'drop' keeps the owner program free of the (never-taken-here)
+        # fallback branch so every counted byte is unconditional;
+        # capacity 1.5 is ample under the interleaved row layout
+        # (max bucket load is within 4% of the mean for zipf ids —
+        # scripts/owner_occupancy.py; overflow would fall back
+        # losslessly in production anyway)
+        mesh_owner_overflow="drop", mesh_owner_capacity=1.5,
+        train_steps_per_call=1)
+    mesh = make_mesh(d, m, devices=jax.devices("cpu")[:n_dev])
+    model = get_model_class("clsr")(
+        cfg=cfg, n_users=sc["n_users"], n_items=sc["n_items"],
+        n_cates=sc["n_cates"])
+    batch = _tiny_batch(B=B, L=sc["L"], n_items=sc["n_items"],
+                        n_cates=sc["n_cates"])
+    # abstract state: shapes only — no 500k-row tables materialized
+    state = jax.eval_shape(
+        lambda: create_train_state(model, cfg, batch,
+                                   rng=jax.random.PRNGKey(0)))
+    flat = resolve_flat_batch(cfg)
+    step = make_sharded_train_step(model, cfg, mesh, state, shard_emb,
+                                   flat)
+    st_sds = jax.tree_util.tree_map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        state, state_sharding(state, mesh, shard_emb),
+        is_leaf=lambda x: x is None)
+    b_sds = jax.tree_util.tree_map(
+        lambda x, s: jax.ShapeDtypeStruct(np.asarray(x).shape,
+                                          np.asarray(x).dtype,
+                                          sharding=s),
+        batch, batch_sharding(mesh, flat))
+    rng_sds = jax.ShapeDtypeStruct((2,), np.uint32)
+    txt = step.lower(st_sds, b_sds, rng_sds).compile().as_text()
+    colls = collect_collectives(txt, d, m)
+    # The CPU SPMD pipeline leaves the dense weight-grad accumulation
+    # all-reduce INSIDE the RNN backward scan; the TPU pipeline's
+    # WhileLoopAllReduceCodeMotion pass sinks such accumulation
+    # all-reduces out of while loops, so the loop_multiplier=1 figure
+    # is the TPU-expected wire cost and xL is the as-compiled-on-CPU
+    # upper bound.
+    sunk = summarize(colls, loop_multiplier=1)
+    as_compiled = summarize(colls, loop_multiplier=sc["L"])
+    scale = sc["B_dev"] / B_COMPILE
+    return ({k: v * scale for k, v in sunk.items()},
+            {k: v * scale for k, v in as_compiled.items()}, len(colls))
+
+
+def efficiencies(sc: dict, bytes_by_axis: dict, n: int, hosts: int,
+                 ici: float, dcn: float):
+    t1 = sc["step_ms"] / 1e3
+    b_model = bytes_by_axis.get("axis/model", 0.0)
+    b_cross = (bytes_by_axis.get("axis/data", 0.0)
+               + bytes_by_axis.get("axis/both", 0.0)
+               + bytes_by_axis.get("axis/unknown", 0.0))
+    if hosts == 1:
+        t_coll = (b_model + b_cross) / ici
+    else:
+        t_coll = b_model / ici + b_cross / dcn
+    weak = t1 / (t1 + t_coll)
+    floor = sc["scan_iters"] * 7e-6     # ~7us/iter scan latency floor
+    t_strong = max(t1 / n, floor) + t_coll / n
+    strong = t1 / (n * t_strong)
+    return weak, strong, t_coll
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="taobao,kuaishou")
+    ap.add_argument("--ici_gbps", type=float, default=90.0)
+    ap.add_argument("--dcn_gbps", type=float, default=25.0)
+    ap.add_argument("--md", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault("XLA_FLAGS", "")
+    if "host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    ici = args.ici_gbps * 1e9
+    dcn = args.dcn_gbps * 1e9
+    sep = "|" if args.md else "  "
+    for name in args.configs.split(","):
+        sc = CONFIGS[name]
+        print(f"\n### {name}: B/device={sc['B_dev']}, L={sc['L']}, "
+              f"step {sc['step_ms']}ms, routing={sc['routing']} "
+              f"(bytes HLO-extracted, rescaled from B_compile="
+              f"{B_COMPILE}/device)")
+        hdr = ["mesh d x m", "MB/dev model-ax", "MB/dev cross-ax",
+               "t_coll 1-host", "weak eff 1-host", "weak eff 2-host",
+               "strong eff 1-host", "weak 2-host lower bound*"]
+        print(sep.join(hdr))
+        if args.md:
+            print("|".join(["---"] * len(hdr)))
+        for d, m in sc["meshes"]:
+            sunk, as_compiled, n_coll = compile_and_count(name, sc, d, m)
+            n = d * m
+            w1, s1, tc1 = efficiencies(sc, sunk, n, 1, ici, dcn)
+            w2, _, _ = efficiencies(sc, sunk, n, 2, ici, dcn)
+            w2lb, _, _ = efficiencies(sc, as_compiled, n, 2, ici, dcn)
+            bm = sunk.get("axis/model", 0.0) / 1e6
+            bc = (sunk.get("axis/data", 0.0)
+                  + sunk.get("axis/both", 0.0)
+                  + sunk.get("axis/unknown", 0.0)) / 1e6
+            row = [f"{d}x{m} ({n_coll} colls)", f"{bm:.2f}", f"{bc:.2f}",
+                   f"{tc1 * 1e3:.3f} ms", f"{w1 * 100:.1f}%",
+                   f"{w2 * 100:.1f}%", f"{s1 * 100:.1f}%",
+                   f"{w2lb * 100:.1f}%"]
+            print(sep.join(row), flush=True)
+        print("\n(*) lower bound: dense-grad all-reduce left inside the "
+              "RNN backward scan (xL), as the CPU SPMD pipeline compiles "
+              "it; the TPU pipeline's WhileLoopAllReduceCodeMotion pass "
+              "sinks it, giving the headline columns.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
