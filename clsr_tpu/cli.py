@@ -122,6 +122,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--embedding_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="bfloat16 table storage (requires lazyadam)")
+    p.add_argument("--use_pallas_train_attention", default=None,
+                   choices=["auto", "on", "off"],
+                   help="fused two-pass train-mode attention scorer "
+                        "(ops/pallas_attention.py; single-device steps)")
     p.add_argument("--use_pallas_eval_attention", default=None,
                    choices=["auto", "on", "off"],
                    help="fused Pallas eval attention scorer "
@@ -219,6 +223,8 @@ def make_config(args) -> "Config":
            if getattr(args, k) is not None},
         **({"use_pallas_eval_attention": args.use_pallas_eval_attention}
            if args.use_pallas_eval_attention is not None else {}),
+        **({"use_pallas_train_attention": args.use_pallas_train_attention}
+           if args.use_pallas_train_attention is not None else {}),
         **ds,
     )
 

@@ -233,6 +233,15 @@ class Config:
                                       # for L >= 1000 histories; needs
                                       # enable_bn False (BN-free scorer)
     use_pallas_scan: bool = False     # hand-written recurrence kernel (ops/pallas_scan.py)
+    use_pallas_train_attention: str = "off"  # 'auto' | 'on' | 'off' —
+                                    # fused two-pass train-mode scorer
+                                    # (pallas_attention.py:
+                                    # fused_train_attention): batch-BN
+                                    # stats via blockwise VMEM kernels,
+                                    # custom-VJP rematerialized backward;
+                                    # single-device steps only ('auto' =
+                                    # on for the TPU backend; default
+                                    # off until the measured win ships)
     use_pallas_eval_attention: str = "auto"  # 'auto' | 'on' | 'off' —
                                       # fused eval-mode grouped attention
                                       # scorer kernel
@@ -448,6 +457,10 @@ class Config:
             raise ValueError(
                 f"use_pallas_eval_attention must be auto/on/off, got "
                 f"{self.use_pallas_eval_attention}")
+        if self.use_pallas_train_attention not in ("auto", "on", "off"):
+            raise ValueError(
+                f"use_pallas_train_attention must be auto/on/off, got "
+                f"{self.use_pallas_train_attention}")
         if (self.data_parallel > 1
                 and self.batch_size % self.data_parallel != 0):
             raise ValueError(

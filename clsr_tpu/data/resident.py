@@ -277,7 +277,7 @@ def make_mesh_resident_step(model, cfg: Config, mesh, state,
 
     from clsr_tpu.parallel.rowmap import resolve_interleaved
 
-    raw = make_train_step_fn(model, cfg)
+    raw = make_train_step_fn(model, cfg, allow_pallas=False)
     B = cfg.batch_size
     il = resolve_interleaved(cfg)
 
@@ -320,7 +320,7 @@ def make_mesh_resident_multi_step(model, cfg: Config, mesh, state,
 
     from clsr_tpu.parallel.rowmap import resolve_interleaved
 
-    raw = make_train_step_fn(model, cfg)
+    raw = make_train_step_fn(model, cfg, allow_pallas=False)
     B = cfg.batch_size
     il = resolve_interleaved(cfg)
 

@@ -99,6 +99,52 @@ class TargetAttention(nn.Module):
                         mesh, flat, *args, compute_dtype=ctd)
                 return att_fea[:, 0] if squeeze_group else att_fea
 
+        # fused TRAIN scorer (ops/pallas_attention.py:
+        # fused_train_attention, VERDICT r3 item 2b): two-pass batch-BN
+        # fold + the eval kernel, custom VJP = exact rematerialized
+        # train-BN gradient — the [B, L, G, 80/40] scorer hiddens never
+        # reach HBM in forward OR backward.  Single-device only (the
+        # mesh train builders pass allow_pallas=False); the BN
+        # running-stat updates go through FcnNet's manual_bn_stats
+        # branch under the identical variable paths.
+        if (pa.train_attention_enabled() and train and not return_weights
+                and not self.is_initializing()
+                and pa.active_eval_mesh() is None
+                and len(self.layer_sizes) == 2
+                and all(self.activations[min(i, len(self.activations) - 1)]
+                        == "relu" for i in range(2))):
+            fcn_params = self.variables["params"]["att_fcn"]
+            k0 = fcn_params["w_nn_layer0"]["kernel"]
+            b0 = fcn_params["w_nn_layer0"]["bias"]
+            w1 = fcn_params["w_nn_layer1"]["kernel"]
+            b1 = fcn_params["w_nn_layer1"]["bias"]
+            w2 = fcn_params["w_nn_output"]["kernel"][:, 0]
+            if self.enable_bn:
+                s0 = fcn_params["bn0"]["scale"]
+                sh0 = fcn_params["bn0"]["bias"]
+                s1 = fcn_params["bn1"]["scale"]
+                sh1 = fcn_params["bn1"]["bias"]
+            else:
+                H0, H1 = w1.shape[0], w1.shape[1]
+                s0 = sh0 = jnp.ones((H0,), jnp.float32)
+                s1 = sh1 = jnp.ones((H1,), jnp.float32)
+            ctd = "bfloat16" if self.dtype == jnp.bfloat16 else None
+            att_fea, m0, v0, m1, v1 = pa.fused_train_attention(
+                keys.astype(jnp.float32), att_inputs.astype(jnp.float32),
+                query.astype(jnp.float32), mask.astype(jnp.float32),
+                k0, b0, s0, sh0, w1, b1, s1, sh1, w2,
+                128, ctd, None, self.enable_bn)
+            if self.enable_bn:
+                # running-average updates under the same att_fcn/bn*
+                # paths the XLA trace writes (ops/mlp.py)
+                FcnNet(self.layer_sizes, self.activations,
+                       enable_bn=self.enable_bn,
+                       kernel_init=self.kernel_init, dtype=self.dtype,
+                       name="att_fcn")(
+                    None, train=True,
+                    manual_bn_stats=[(m0, v0), (m1, v1)])
+            return att_fea[:, 0] if squeeze_group else att_fea
+
         # scorer over the implicit concat [k, q, k-q, k*q]: the first
         # layer is algebraically split (ops/mlp.py:SplitFirstDense) so the
         # reference's [B, G, L, 4Dq] interaction tensor (clsr.py:355-368)

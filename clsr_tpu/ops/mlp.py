@@ -89,6 +89,33 @@ class SplitFirstDense(nn.Module):
                 + bias.astype(ct))
 
 
+class _BNStatsUpdate(nn.Module):
+    """Stand-in for nn.BatchNorm when the normalization itself was
+    computed by the fused train scorer (ops/pallas_attention.py
+    fused_train_attention): declares the IDENTICAL variable tree
+    (params scale/bias, batch_stats mean/var — same names, shapes,
+    inits as flax BatchNorm) and applies the same running-average
+    update from the kernel-computed batch statistics.  Because flax
+    records no module types in the variable tree, traces using this
+    module and traces using nn.BatchNorm are checkpoint-compatible."""
+
+    momentum: float = 0.95
+
+    @nn.compact
+    def __call__(self, batch_mean: jnp.ndarray, batch_var: jnp.ndarray):
+        H = batch_mean.shape[-1]
+        self.param("scale", nn.initializers.ones, (H,))
+        self.param("bias", nn.initializers.zeros, (H,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (H,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (H,))
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1 - m) * batch_var
+
+
 class FcnNet(nn.Module):
     """Dense stack with optional BN, per base_model.py:627-708.
 
@@ -111,7 +138,15 @@ class FcnNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Optional[jnp.ndarray], train: bool = False,
-                 split_parts=None) -> jnp.ndarray:
+                 split_parts=None, manual_bn_stats=None) -> jnp.ndarray:
+        if manual_bn_stats is not None:
+            # the fused train scorer (ops/pallas_attention.py) computed
+            # the forward and the batch statistics itself; this call
+            # only applies the BN running-average updates under the
+            # exact same variable paths (bn0/bn1) the normal trace uses
+            for idx, (m, v) in enumerate(manual_bn_stats):
+                _BNStatsUpdate(momentum=0.95, name=f"bn{idx}")(m, v)
+            return None
         if x is not None and self.dtype is not None:
             x = x.astype(self.dtype)
         for idx, size in enumerate(self.layer_sizes):

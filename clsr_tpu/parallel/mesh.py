@@ -184,7 +184,7 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
                                          sync_params_from_opt)
     from clsr_tpu.training.losses import LossParts
 
-    raw_inner = make_train_step_fn(model, cfg)
+    raw_inner = make_train_step_fn(model, cfg, allow_pallas=False)
     il = resolve_interleaved(cfg)
 
     def raw(state, batch, rng):
@@ -225,7 +225,7 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
     from clsr_tpu.training.steps import (make_train_step_fn,
                                          sync_params_from_opt)
 
-    raw = make_train_step_fn(model, cfg)
+    raw = make_train_step_fn(model, cfg, allow_pallas=False)
     il = resolve_interleaved(cfg)
 
     def multi(st, batches, rng):

@@ -21,13 +21,28 @@ from clsr_tpu.training.negative_sampling import expand_with_negatives
 from clsr_tpu.training.state import TrainState
 
 
-def make_train_step_fn(model, cfg: Config) -> Callable:
+def make_train_step_fn(model, cfg: Config,
+                       allow_pallas: Optional[bool] = None) -> Callable:
     """The raw (unjitted) train step: (state, batch, rng) -> (state, LossParts).
 
     `batch` carries G=1 (positives only); negatives are sampled on-device
     (1 + train_num_ngs candidate targets per row).
+
+    `allow_pallas` gates the fused TRAIN attention scorer
+    (ops/pallas_attention.py:fused_train_attention); None defers to
+    cfg.use_pallas_train_attention ('auto' = TPU backend only).  The
+    mesh step builders pass False — the train kernel has no shard_map
+    wrapper yet, and a bare pallas_call must never land in a GSPMD
+    program.
     """
     num_ngs = cfg.train_num_ngs
+    if allow_pallas is None:
+        flag = getattr(cfg, "use_pallas_train_attention", "off")
+        use_train_kernel = (flag == "on" or
+                            (flag == "auto"
+                             and jax.default_backend() == "tpu"))
+    else:
+        use_train_kernel = allow_pallas
     lazy_update = None
     if cfg.optimizer == "lazyadam":
         from clsr_tpu.training.lazy_adam import (batch_table_ids,
@@ -148,7 +163,7 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
                               opt_state=new_opt, batch_stats=new_stats)
         return state, parts
 
-    def step(state: TrainState, batch: Batch, rng: jax.Array):
+    def _step_inner(state: TrainState, batch: Batch, rng: jax.Array):
         rng_samp, rng_drop = jax.random.split(rng)
         if cfg.need_sample and num_ngs > 0:
             if per_position:
@@ -201,6 +216,11 @@ def make_train_step_fn(model, cfg: Config) -> Callable:
             state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         return state, parts
+
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        from clsr_tpu.ops.pallas_attention import use_train_attention
+        with use_train_attention(use_train_kernel):
+            return _step_inner(state, batch, rng)
 
     return step
 
