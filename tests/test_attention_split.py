@@ -6,6 +6,7 @@ reassociation, for both the forward value and the gradients.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,7 @@ def _setup(B=6, G=5, L=13, Dk=40, Dq=40, seed=0):
     return mod, params, query, keys, mask
 
 
+@pytest.mark.slow
 def test_split_equals_concat_forward():
     mod, params, query, keys, mask = _setup()
     got = mod.apply({"params": params}, query, keys, mask)

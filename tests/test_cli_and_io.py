@@ -80,6 +80,7 @@ def test_timer():
         Timer().stop()
 
 
+@pytest.mark.slow
 def test_cli_mesh_end_to_end(tmp_path, capsys):
     """CLI -> Trainer mesh wiring: --data_parallel/--model_parallel on
     the virtual CPU mesh (flat batch auto-on, mesh-compact lazyadam)."""

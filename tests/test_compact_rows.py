@@ -122,7 +122,8 @@ def test_permuted_rows_values_and_gather_backward():
                           np.asarray(g[np.asarray(plan.perm)]))
 
 
-@pytest.mark.parametrize("model", ["clsr", "gru4rec"])
+@pytest.mark.parametrize("model", [
+    pytest.param("clsr", marks=pytest.mark.slow), "gru4rec"])
 def test_compact_matches_legacy_one_step(model):
     n_items, n_cates, n_users = 60, 15, 25
     rng_np = np.random.RandomState(1)
@@ -184,6 +185,7 @@ def test_compact_loss_trajectory_tracks_legacy():
     np.testing.assert_allclose(traces["auto"], traces["off"], rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_compact_bf16_tables_close():
     n_items, n_cates, n_users = 60, 15, 25
     rng_np = np.random.RandomState(3)

@@ -12,6 +12,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "clsr_tpu", "configs")
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     import __graft_entry__ as g
     fn, args = g.entry()
@@ -19,6 +20,7 @@ def test_entry_compiles_and_runs():
     assert out.shape == (64, 5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

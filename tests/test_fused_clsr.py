@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clsr_tpu.ops.fused_clsr import FusedCLSREncoder
 from clsr_tpu.ops.rnn import GRU, Time4LSTM
@@ -22,6 +23,7 @@ def _inputs(seed=0):
             jnp.array(mask), jnp.array(user_short))
 
 
+@pytest.mark.slow
 def test_fused_matches_unfused():
     hist, t_last, t_now, mask, user_short = _inputs()
 

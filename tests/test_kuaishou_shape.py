@@ -6,6 +6,7 @@ ms time features."""
 
 import jax
 import numpy as np
+import pytest
 
 from clsr_tpu.config import Config
 from clsr_tpu.data.parser import time_range_for_unit
@@ -39,6 +40,7 @@ def test_ms_time_range():
     assert time_range_for_unit("ms") == 86400000.0
 
 
+@pytest.mark.slow
 def test_clsr_kuaishou_shape_trains():
     cfg = Config(
         model_type="clsr", user_vocab="u", item_vocab="i", cate_vocab="c",

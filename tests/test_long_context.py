@@ -51,6 +51,7 @@ def test_blockwise_equals_full(block):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_blockwise_grad_matches():
     ref, params, query, keys, mask = _setup(L=64)
     mod = LongTargetAttention((12, 6), block_size=16)

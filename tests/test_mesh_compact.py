@@ -71,9 +71,9 @@ def _one_step_close(ref_params, got_params, lr, max_flips=5):
 
 @pytest.mark.parametrize("model_name,dp,mp,flat", [
     ("gru4rec", 4, 2, False),
-    ("clsr", 2, 4, False),
+    pytest.param("clsr", 2, 4, False, marks=pytest.mark.slow),
     ("gru4rec", 4, 2, True),
-    ("clsr", 2, 4, True),
+    pytest.param("clsr", 2, 4, True, marks=pytest.mark.slow),
 ])
 def test_mesh_compact_matches_single_device(model_name, dp, mp, flat):
     """flat=True: the batch is sharded over BOTH mesh axes (flat data
@@ -113,6 +113,7 @@ def test_mesh_compact_matches_single_device(model_name, dp, mp, flat):
     np.testing.assert_allclose(ref, got, rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_mesh_compact_replicated_table_fallback():
     """Item vocab 95 doesn't divide model=2: the item table (and its pmn
     array) stay replicated; the update must still match single-device."""

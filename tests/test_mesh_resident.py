@@ -97,6 +97,7 @@ def test_gather_batch_mesh_matches_single(dataset, flat):
             err_msg=f)
 
 
+@pytest.mark.slow
 def test_mesh_resident_matches_mesh_streaming(dataset):
     """Full fit: the mesh-resident path == the streaming mesh path
     (same permutation consumption, same batches, same rng folds)."""

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from clsr_tpu.config import Config
 from clsr_tpu.models.registry import get_model_class
@@ -20,6 +21,7 @@ def _cfg(dtype):
     ).validate()
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_f32():
     batch = _batch(np.random.RandomState(0), 30, 6, 20)
     outs = {}

@@ -63,8 +63,8 @@ def _logical_params(sstate, cfg, mesh):
 @pytest.mark.parametrize("model_name,dp,mp,flat", [
     ("gru4rec", 4, 2, True),
     ("gru4rec", 4, 2, False),
-    ("clsr", 2, 4, True),
-    ("clsr", 2, 4, False),
+    pytest.param("clsr", 2, 4, True, marks=pytest.mark.slow),
+    pytest.param("clsr", 2, 4, False, marks=pytest.mark.slow),
 ])
 def test_owner_matches_broadcast(model_name, dp, mp, flat):
     """Owner routing == broadcast merge == single-device engine (up to
@@ -101,7 +101,8 @@ def test_owner_matches_broadcast(model_name, dp, mp, flat):
     np.testing.assert_allclose(traj1, traj_o, rtol=1e-4, atol=1e-7)
 
 
-@pytest.mark.parametrize("flat", [True, False])
+@pytest.mark.parametrize("flat", [
+    True, pytest.param(False, marks=pytest.mark.slow)])
 def test_owner_hlo_collective_sizes(flat):
     """O(M/m) wire check.  GRU4Rec 4x2, B=16: the item/cate tables see
     Mi sorted ids per shard; the broadcast merge all-gathers the full
@@ -177,7 +178,7 @@ def test_owner_overflow_counted():
 
 @pytest.mark.parametrize("model_name,dp,mp,flat", [
     ("gru4rec", 4, 2, True),
-    ("clsr", 2, 4, False),
+    pytest.param("clsr", 2, 4, False, marks=pytest.mark.slow),
 ])
 def test_owner_overflow_lossless(model_name, dp, mp, flat):
     """VERDICT r3 item 3a: with the default mesh_owner_overflow=
@@ -287,6 +288,7 @@ def test_interleaved_checkpoint_roundtrip(tmp_path):
                                       err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_owner_overflow_trainer_warns(tmp_path):
     """The trainer surfaces bucket overflow once per epoch: a mesh fit
     with a far-too-small capacity must log the WARNING (and still

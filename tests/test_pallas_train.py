@@ -46,6 +46,7 @@ def test_kernel_matches_xla_scorer(enable_bn):
                                        atol=2e-6)
 
 
+@pytest.mark.slow
 def test_kernel_gradients_match_xla():
     rng = np.random.RandomState(1)
     args = _scorer_args(rng, L=17)   # 17 % 8 != 0: exercises L padding

@@ -76,6 +76,7 @@ def _params_equal(a, b):
                                       err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_kill_and_resume_bit_identical(tmp_path):
     # A: the uninterrupted run (autosave on, never killed — autosave
     # only reads state, so it cannot perturb the trajectory)

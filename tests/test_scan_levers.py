@@ -28,7 +28,9 @@ def _inputs(seed=0):
     return hist, t_last, t_now, mask, user_short
 
 
-@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [
+    pytest.param(None, marks=pytest.mark.slow),
+    pytest.param(jnp.bfloat16, marks=pytest.mark.slow)])
 def test_levers_identical_forward_and_grad(dtype):
     inputs = _inputs()
     base = FusedCLSREncoder(U, H, dtype=dtype, concat_scan_inputs=False,

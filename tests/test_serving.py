@@ -79,6 +79,7 @@ def test_service_scores_match_direct_eval(trained):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_service_bucket_routing_and_batching(trained):
     cfg, (uv, iv, cv), ckpt, _ = trained
     svc = ScoringService(cfg, len(uv), len(iv), len(cv), uv, iv, cv,

@@ -59,7 +59,7 @@ def test_eight_devices_available():
 @pytest.mark.parametrize("n_data,n_model,shard_emb", [
     (8, 1, False),   # pure DP
     (4, 2, True),    # DP x row-sharded embeddings
-    (2, 4, True),
+    pytest.param(2, 4, True, marks=pytest.mark.slow),
 ])
 def test_sharded_step_runs(built, n_data, n_model, shard_emb):
     cfg, model, batch, state = built
