@@ -82,6 +82,12 @@ def main():
     # reference-faithful math.
     extra = ({"compute_dtype": "bfloat16"}
              if os.environ.get("BENCH_BF16") else {})
+    # BENCH_TRAIN_KERNEL=on|off|auto A/Bs the fused two-pass train-mode
+    # attention scorer (ops/pallas_attention.py:fused_train_attention)
+    # on the exact recorded-bench program; the recorded bench uses the
+    # config default.
+    if os.environ.get("BENCH_TRAIN_KERNEL"):
+        extra["use_pallas_train_attention"] = os.environ["BENCH_TRAIN_KERNEL"]
     cfg = _taobao_cfg(batch_size=BATCH, optimizer="lazyadam",
                       train_steps_per_call=STEPS_PER_CALL, **extra)
 

@@ -324,16 +324,53 @@ def fused_eval_attention_mesh(mesh, flat: bool, keys, keys_proj, query,
         keys, keys_proj, query, mask, *folded)
 
 
+_STATS_BB = 8   # batch rows per stats grid step (Mosaic: the block's
+                # second-to-last dim must be a multiple of 8)
+
+
+def _stats_x0(q_ref, kp_ref, wk_ref, wq_ref, wm_ref, ct):
+    """Shared blockwise x0 = SplitFirstDense(kp, q) for a [bb, Lb|G, D]
+    block pair — returns [bb, Lb, G, H0] f32 (biasless)."""
+    q = q_ref[...].astype(ct)                     # [bb, G, D]
+    kp = kp_ref[...].astype(ct)                   # [bb, Lb, D]
+    bb, Lb, D = kp.shape
+    G = q.shape[1]
+    H0 = wm_ref.shape[1]
+    tk = jnp.dot(kp.reshape(bb * Lb, D), wk_ref[:].astype(ct),
+                 preferred_element_type=jnp.float32)     # [bb*Lb, H0]
+    tq = jnp.dot(q.reshape(bb * G, D), wq_ref[:].astype(ct),
+                 preferred_element_type=jnp.float32)     # [bb*G, H0]
+    kq = kp[:, :, None, :] * q[:, None, :, :]            # [bb, Lb, G, D]
+    x0 = jnp.dot(kq.reshape(bb * Lb * G, D), wm_ref[:].astype(ct),
+                 preferred_element_type=jnp.float32)
+    return (x0.reshape(bb, Lb, G, H0)
+            + tk.reshape(bb, Lb, H0)[:, :, None, :]
+            + tq.reshape(bb, G, H0)[:, None, :, :])
+
+
+def _stats_mask(x, l_idx, b_idx, l_real, b_real):
+    """Zero x's L-block-padding and B-padding rows (padded batch rows
+    matter in pass B, where relu(c0) @ W1 is nonzero even for all-zero
+    inputs).  Full-shape broadcasted_iota — Mosaic has no relayout for
+    unit-dim broadcast reshapes of accumulated vectors."""
+    shape = x.shape                                  # [bb, Lb, G, H]
+    lids = l_idx * shape[1] + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    bids = b_idx * shape[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return jnp.where((lids < l_real) & (bids < b_real), x, 0.0)
+
+
 def _stats0_kernel(q_ref, kp_ref, wk_ref, wq_ref, wm_ref,
                    sum_ref, sq_ref, s_acc, q_acc, *, n_l: int,
-                   l_real: int, bl: int, ct):
+                   l_real: int, b_real: int, ct):
     """Pass A of the two-pass train-mode BN fold: per-channel sum and
     sum-of-squares of the BIASLESS first-layer pre-BN activations x0,
     accumulated blockwise in VMEM — x0 itself never touches HBM.
 
-    Rows beyond the real L (block padding) are excluded; mask=0 rows
+    Rows beyond the real L/B (block padding) are excluded; mask=0 rows
     within L are INCLUDED, exactly like the XLA path, whose BN sees the
-    full [B, L, G] extent (ops/mlp.py FcnNet)."""
+    full [B, L, G] extent (ops/mlp.py FcnNet).  Grid step = (b_block,
+    l_block) with _STATS_BB batch rows per step; outputs are per-
+    batch-row partial sums [B, H], reduced outside."""
     l_idx = pl.program_id(1)
 
     @pl.when(l_idx == 0)
@@ -341,37 +378,20 @@ def _stats0_kernel(q_ref, kp_ref, wk_ref, wq_ref, wm_ref,
         s_acc[:] = jnp.zeros(s_acc.shape, s_acc.dtype)
         q_acc[:] = jnp.zeros(q_acc.shape, q_acc.dtype)
 
-    q = q_ref[0].astype(ct)                       # [G, D]
-    kp = kp_ref[0].astype(ct)                     # [Lb, D]
-    Lb, D = kp.shape
-    G = q.shape[0]
-    H0 = wm_ref.shape[1]
-    tk = jnp.dot(kp, wk_ref[:].astype(ct),
-                 preferred_element_type=jnp.float32)          # [Lb, H0]
-    tq = jnp.dot(q, wq_ref[:].astype(ct),
-                 preferred_element_type=jnp.float32)          # [G, H0]
-    kq = kp[:, None, :] * q[None, :, :]                       # [Lb, G, D]
-    x0 = jnp.dot(kq.reshape(Lb * G, D), wm_ref[:].astype(ct),
-                 preferred_element_type=jnp.float32)
-    x0 = (x0.reshape(Lb, G, H0) + tk[:, None, :] + tq[None, :, :])
-    # row-valid: global l < real L (block padding exclusion)
-    lids = l_idx * bl + jax.lax.broadcasted_iota(jnp.int32, (Lb, 1), 0)
-    rv = (lids < l_real).astype(jnp.float32)                  # [Lb, 1]
-    x0 = x0 * rv[:, :, None]
-    s_acc[:] = s_acc[:] + jnp.sum(x0.reshape(Lb * G, H0), axis=0,
-                                  keepdims=True)
-    q_acc[:] = q_acc[:] + jnp.sum((x0 * x0).reshape(Lb * G, H0), axis=0,
-                                  keepdims=True)
+    x0 = _stats_x0(q_ref, kp_ref, wk_ref, wq_ref, wm_ref, ct)
+    x0 = _stats_mask(x0, l_idx, pl.program_id(0), l_real, b_real)
+    s_acc[:] = s_acc[:] + jnp.sum(x0, axis=(1, 2))
+    q_acc[:] = q_acc[:] + jnp.sum(x0 * x0, axis=(1, 2))
 
     @pl.when(l_idx == n_l - 1)
     def _finish():
-        sum_ref[0] = s_acc[0]
-        sq_ref[0] = q_acc[0]
+        sum_ref[...] = s_acc[...]
+        sq_ref[...] = q_acc[...]
 
 
 def _stats1_kernel(q_ref, kp_ref, wk_ref, wq_ref, wm_ref, a0_ref, c0_ref,
                    w1_ref, sum_ref, sq_ref, s_acc, q_acc, *, n_l: int,
-                   l_real: int, bl: int, ct):
+                   l_real: int, b_real: int, ct):
     """Pass B: recompute x0 blockwise, apply the pass-A folded affine +
     relu, and accumulate the per-channel sums of the BIASLESS second-
     layer pre-BN activations x1 = y0 @ W1."""
@@ -382,62 +402,53 @@ def _stats1_kernel(q_ref, kp_ref, wk_ref, wq_ref, wm_ref, a0_ref, c0_ref,
         s_acc[:] = jnp.zeros(s_acc.shape, s_acc.dtype)
         q_acc[:] = jnp.zeros(q_acc.shape, q_acc.dtype)
 
-    q = q_ref[0].astype(ct)
-    kp = kp_ref[0].astype(ct)
-    Lb, D = kp.shape
-    G = q.shape[0]
-    H0 = wm_ref.shape[1]
-    tk = jnp.dot(kp, wk_ref[:].astype(ct),
-                 preferred_element_type=jnp.float32)
-    tq = jnp.dot(q, wq_ref[:].astype(ct),
-                 preferred_element_type=jnp.float32)
-    kq = kp[:, None, :] * q[None, :, :]
-    x0 = jnp.dot(kq.reshape(Lb * G, D), wm_ref[:].astype(ct),
-                 preferred_element_type=jnp.float32)
-    x0 = (x0.reshape(Lb, G, H0) + tk[:, None, :] + tq[None, :, :])
+    x0 = _stats_x0(q_ref, kp_ref, wk_ref, wq_ref, wm_ref, ct)
+    bb, Lb, G, H0 = x0.shape
     y0 = jnp.maximum(x0 * a0_ref[:] + c0_ref[:], 0.0)
     H1 = w1_ref.shape[1]
-    x1 = jnp.dot(y0.reshape(Lb * G, H0).astype(ct),
+    x1 = jnp.dot(y0.reshape(bb * Lb * G, H0).astype(ct),
                  w1_ref[:].astype(ct),
-                 preferred_element_type=jnp.float32)          # [Lb*G, H1]
-    lids = l_idx * bl + jax.lax.broadcasted_iota(jnp.int32, (Lb, 1), 0)
-    rv = (lids < l_real).astype(jnp.float32)
-    x1 = x1.reshape(Lb, G, H1) * rv[:, :, None]
-    s_acc[:] = s_acc[:] + jnp.sum(x1.reshape(Lb * G, H1), axis=0,
-                                  keepdims=True)
-    q_acc[:] = q_acc[:] + jnp.sum((x1 * x1).reshape(Lb * G, H1), axis=0,
-                                  keepdims=True)
+                 preferred_element_type=jnp.float32)   # [bb*Lb*G, H1]
+    x1 = _stats_mask(x1.reshape(bb, Lb, G, H1), l_idx, pl.program_id(0),
+                     l_real, b_real)
+    s_acc[:] = s_acc[:] + jnp.sum(x1, axis=(1, 2))
+    q_acc[:] = q_acc[:] + jnp.sum(x1 * x1, axis=(1, 2))
 
     @pl.when(l_idx == n_l - 1)
     def _finish():
-        sum_ref[0] = s_acc[0]
-        sq_ref[0] = q_acc[0]
+        sum_ref[...] = s_acc[...]
+        sq_ref[...] = q_acc[...]
 
 
 def _stats_call(kernel, extra_inputs, extra_specs, B, bl, n_l, D, G,
                 H_out, H0, query, keys_proj, wk_eff, wq_eff, wm,
                 interpret, ct, l_real):
     f32 = jnp.float32
+    bb = _STATS_BB
+    Bp = _cdiv(B, bb) * bb
+    if Bp != B:
+        query = jnp.pad(query, ((0, Bp - B), (0, 0), (0, 0)))
+        keys_proj = jnp.pad(keys_proj, ((0, Bp - B), (0, 0), (0, 0)))
     w_spec = pl.BlockSpec((D, H0), lambda b, l: (0, 0),
                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bb, H_out), lambda b, l: (b, 0),
+                            memory_space=pltpu.VMEM)
     sums, sqs = pl.pallas_call(
-        functools.partial(kernel, n_l=n_l, l_real=l_real, bl=bl, ct=ct),
-        out_shape=(jax.ShapeDtypeStruct((B, H_out), f32),
-                   jax.ShapeDtypeStruct((B, H_out), f32)),
-        grid=(B, n_l),
+        functools.partial(kernel, n_l=n_l, l_real=l_real, b_real=B,
+                          ct=ct),
+        out_shape=(jax.ShapeDtypeStruct((Bp, H_out), f32),
+                   jax.ShapeDtypeStruct((Bp, H_out), f32)),
+        grid=(Bp // bb, n_l),
         in_specs=[
-            pl.BlockSpec((1, G, D), lambda b, l: (b, 0, 0),
+            pl.BlockSpec((bb, G, D), lambda b, l: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bl, D), lambda b, l: (b, l, 0),
+            pl.BlockSpec((bb, bl, D), lambda b, l: (b, l, 0),
                          memory_space=pltpu.VMEM),
             w_spec, w_spec, w_spec,
         ] + extra_specs,
-        out_specs=(pl.BlockSpec((1, H_out), lambda b, l: (b, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, H_out), lambda b, l: (b, 0),
-                                memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((1, H_out), f32),
-                        pltpu.VMEM((1, H_out), f32)],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((bb, H_out), f32),
+                        pltpu.VMEM((bb, H_out), f32)],
         interpret=interpret,
     )(query, keys_proj, wk_eff, wq_eff, wm, *extra_inputs)
     return sums, sqs

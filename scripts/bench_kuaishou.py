@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--scan_unroll", type=int, default=1)
     ap.add_argument("--compact_rows", default="auto",
                     help="auto|off — compact row engine (compact_rows.py)")
+    ap.add_argument("--train_kernel", default=None,
+                    help="on|off|auto — fused train-mode attention scorer "
+                         "(use_pallas_train_attention)")
     args = ap.parse_args()
     global BATCH
     if args.batch:
@@ -62,7 +65,9 @@ def main():
                       compute_dtype=args.compute_dtype,
                       embedding_dtype=args.embedding_dtype,
                       scan_unroll=args.scan_unroll,
-                      compact_rows=args.compact_rows)
+                      compact_rows=args.compact_rows,
+                      **({"use_pallas_train_attention": args.train_kernel}
+                         if args.train_kernel else {}))
     model = get_model_class("clsr")(
         cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
 
