@@ -277,13 +277,15 @@ def make_mesh_resident_step(model, cfg: Config, mesh, state,
 
     from clsr_tpu.parallel.rowmap import resolve_interleaved
 
-    raw = make_train_step_fn(model, cfg, allow_pallas=False)
+    from clsr_tpu.ops.pallas_attention import use_train_attention_mesh
+    raw = make_train_step_fn(model, cfg, allow_pallas=None)
     B = cfg.batch_size
     il = resolve_interleaved(cfg)
 
     def step(st, res, perm, n_rows, offset, rng):
         with use_sharded_tables(mesh if shard_embeddings else None, flat,
-                                il):
+                                il), \
+             use_train_attention_mesh(mesh, flat):
             idx = jax.lax.dynamic_slice(perm, (offset,), (B,))
             valid = (offset + jnp.arange(B)) < n_rows
             batch = gather_batch_mesh(mesh, flat, res, idx, valid)
@@ -320,7 +322,8 @@ def make_mesh_resident_multi_step(model, cfg: Config, mesh, state,
 
     from clsr_tpu.parallel.rowmap import resolve_interleaved
 
-    raw = make_train_step_fn(model, cfg, allow_pallas=False)
+    from clsr_tpu.ops.pallas_attention import use_train_attention_mesh
+    raw = make_train_step_fn(model, cfg, allow_pallas=None)
     B = cfg.batch_size
     il = resolve_interleaved(cfg)
 
@@ -333,7 +336,8 @@ def make_mesh_resident_multi_step(model, cfg: Config, mesh, state,
             return raw(s, batch, jax.random.fold_in(rng, k))
 
         with use_sharded_tables(mesh if shard_embeddings else None, flat,
-                                il):
+                                il), \
+             use_train_attention_mesh(mesh, flat):
             st, parts = jax.lax.scan(body, st,
                                      jnp.arange(steps_per_call))
         return sync_params_from_opt(st), parts

@@ -103,10 +103,11 @@ class TargetAttention(nn.Module):
         # fused_train_attention, VERDICT r3 item 2b): two-pass batch-BN
         # fold + the eval kernel, custom VJP = exact rematerialized
         # train-BN gradient — the [B, L, G, 80/40] scorer hiddens never
-        # reach HBM in forward OR backward.  Single-device only (the
-        # mesh train builders pass allow_pallas=False); the BN
-        # running-stat updates go through FcnNet's manual_bn_stats
-        # branch under the identical variable paths.
+        # reach the forward's HBM residuals.  On a mesh the scorer goes
+        # through the shard_map island (fused_train_attention_mesh) with
+        # GLOBAL batch-BN collectives; the BN running-stat updates go
+        # through FcnNet's manual_bn_stats branch under the identical
+        # variable paths.
         if (pa.train_attention_enabled() and train and not return_weights
                 and not self.is_initializing()
                 and pa.active_eval_mesh() is None
@@ -129,11 +130,18 @@ class TargetAttention(nn.Module):
                 s0 = sh0 = jnp.ones((H0,), jnp.float32)
                 s1 = sh1 = jnp.ones((H1,), jnp.float32)
             ctd = "bfloat16" if self.dtype == jnp.bfloat16 else None
-            att_fea, m0, v0, m1, v1 = pa.fused_train_attention(
-                keys.astype(jnp.float32), att_inputs.astype(jnp.float32),
-                query.astype(jnp.float32), mask.astype(jnp.float32),
-                k0, b0, s0, sh0, w1, b1, s1, sh1, w2,
-                128, ctd, None, self.enable_bn)
+            targs = (keys.astype(jnp.float32),
+                     att_inputs.astype(jnp.float32),
+                     query.astype(jnp.float32), mask.astype(jnp.float32),
+                     k0, b0, s0, sh0, w1, b1, s1, sh1, w2)
+            tmesh = pa.active_train_mesh()
+            if tmesh is None:
+                att_fea, m0, v0, m1, v1 = pa.fused_train_attention(
+                    *targs, 128, ctd, None, self.enable_bn)
+            else:
+                att_fea, m0, v0, m1, v1 = pa.fused_train_attention_mesh(
+                    tmesh[0], tmesh[1], *targs, compute_dtype=ctd,
+                    enable_bn=self.enable_bn)
             if self.enable_bn:
                 # running-average updates under the same att_fcn/bn*
                 # paths the XLA trace writes (ops/mlp.py)

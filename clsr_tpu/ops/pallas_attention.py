@@ -94,6 +94,24 @@ def train_attention_enabled() -> bool:
     return bool(getattr(_state, "train_enabled", False))
 
 
+def active_train_mesh():
+    """(mesh, flat) while a MESH train step is being traced with the
+    train kernel enabled, else None — routes the scorer through
+    fused_train_attention_mesh (shard_map island with GLOBAL batch-BN
+    collectives) instead of a bare pallas_call in the GSPMD program."""
+    return getattr(_state, "train_mesh_info", None)
+
+
+@contextlib.contextmanager
+def use_train_attention_mesh(mesh, flat: bool):
+    prev = getattr(_state, "train_mesh_info", None)
+    _state.train_mesh_info = (mesh, flat)
+    try:
+        yield
+    finally:
+        _state.train_mesh_info = prev
+
+
 @contextlib.contextmanager
 def use_train_attention(enabled: bool):
     prev = getattr(_state, "train_enabled", False)
@@ -324,6 +342,45 @@ def fused_eval_attention_mesh(mesh, flat: bool, keys, keys_proj, query,
         keys, keys_proj, query, mask, *folded)
 
 
+def fused_train_attention_mesh(mesh, flat: bool, keys, keys_proj, query,
+                               mask, *params,
+                               compute_dtype: Optional[str] = None,
+                               enable_bn: bool = True):
+    """fused_train_attention under a (data, model) mesh.
+
+    Unlike eval, the train scorer is NOT per-batch-row pure: train-mode
+    BN statistics span the GLOBAL [B, L, G] extent.  The two-pass
+    structure makes the mesh form natural anyway — each shard's stats
+    kernels produce local per-channel partial sums, one psum over the
+    batch axes globalizes them (psum_axes), and the fold + eval kernel
+    run shard-locally.  The custom-VJP backward recomputes with the
+    same pmean'd global stats, so gradients equal the single-device
+    trace exactly (differential-tested in tests/test_pallas_mesh.py).
+
+    params: (k0, b0, scale0, shift0, w1, b1, scale1, shift1, w2),
+    replicated.  Returns (att [B, G, Dk] batch-sharded, biased mean0,
+    var0, mean1, var1 — identical on every shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    from clsr_tpu.parallel.embedding import batch_axes
+    bax = batch_axes(flat)
+    axes = bax if isinstance(bax, tuple) else (bax,)
+
+    def local(k, kp, q, m, *ps):
+        return fused_train_attention(k, kp, q, m, *ps,
+                                     compute_dtype=compute_dtype,
+                                     enable_bn=enable_bn,
+                                     psum_axes=axes)
+
+    t3 = P(bax, None, None)
+    rep = P()
+    in_specs = (t3, t3, t3, P(bax, None)) + (rep,) * len(params)
+    out_specs = (t3, rep, rep, rep, rep)
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(
+        keys, keys_proj, query, mask, *params)
+
+
 _STATS_BB = 8   # batch rows per stats grid step (Mosaic: the block's
                 # second-to-last dim must be a multiple of 8)
 
@@ -454,16 +511,30 @@ def _stats_call(kernel, extra_inputs, extra_specs, B, bl, n_l, D, G,
     return sums, sqs
 
 
+def _gmean(x, axes, psum_axes):
+    """Mean over local array axes, then over the mesh batch axes when
+    `psum_axes` is set (equal per-shard extents -> pmean is exact)."""
+    m = jnp.mean(x, axis=axes)
+    if psum_axes is not None:
+        m = jax.lax.pmean(m, psum_axes)
+    return m
+
+
 def _xla_train_scorer(keys, keys_proj, query, mask, k0, b0, scale0,
                       shift0, w1, b1, scale1, shift1, w2,
-                      enable_bn=True, eps=1e-4):
+                      enable_bn=True, eps=1e-4, psum_axes=None):
     """Pure-XLA train-mode scorer math — the EXACT computation the flax
     FcnNet train path performs (SplitFirstDense -> train BN -> relu,
     x2 -> softmax over L -> weighted sum), used as the custom-VJP
     backward of the fused path: gradients are the true train-BN
     gradients (including the through-batch-stats terms), evaluated by
     recomputation (flash-style remat — nothing [B, L, G, H]-sized is
-    saved between forward and backward)."""
+    saved between forward and backward).
+
+    With `psum_axes` (inside a shard_map over the mesh batch axes) the
+    batch statistics are GLOBAL over the full [B, L, G] extent via
+    pmean — identical math to the single-device trace, and the VJP's
+    through-stats terms transpose to the matching collectives."""
     D = keys_proj.shape[-1]
     ct = keys_proj.dtype
     wk, wq, wd, wm = k0[:D], k0[D:2 * D], k0[2 * D:3 * D], k0[3 * D:]
@@ -474,8 +545,9 @@ def _xla_train_scorer(keys, keys_proj, query, mask, k0, b0, scale0,
           + tk[:, :, None, :] + tq[:, None, :, :]
           + b0.astype(ct)).astype(jnp.float32)
     if enable_bn:
-        mean0 = jnp.mean(x0, axis=(0, 1, 2))
-        var0 = jnp.mean(jnp.square(x0), axis=(0, 1, 2)) - jnp.square(mean0)
+        mean0 = _gmean(x0, (0, 1, 2), psum_axes)
+        var0 = _gmean(jnp.square(x0), (0, 1, 2),
+                      psum_axes) - jnp.square(mean0)
         y0 = jnp.maximum(scale0 * (x0 - mean0) * jax.lax.rsqrt(var0 + eps)
                          + shift0, 0.0)
     else:
@@ -484,8 +556,9 @@ def _xla_train_scorer(keys, keys_proj, query, mask, k0, b0, scale0,
     x1 = (jnp.einsum("blgh,hk->blgk", y0.astype(ct), w1.astype(ct))
           + b1.astype(ct)).astype(jnp.float32)
     if enable_bn:
-        mean1 = jnp.mean(x1, axis=(0, 1, 2))
-        var1 = jnp.mean(jnp.square(x1), axis=(0, 1, 2)) - jnp.square(mean1)
+        mean1 = _gmean(x1, (0, 1, 2), psum_axes)
+        var1 = _gmean(jnp.square(x1), (0, 1, 2),
+                      psum_axes) - jnp.square(mean1)
         y1 = jnp.maximum(scale1 * (x1 - mean1) * jax.lax.rsqrt(var1 + eps)
                          + shift1, 0.0)
     else:
@@ -501,7 +574,7 @@ def _xla_train_scorer(keys, keys_proj, query, mask, k0, b0, scale0,
 def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
                       shift0, w1, b1, scale1, shift1, w2,
                       block_l, compute_dtype, interpret, enable_bn,
-                      eps=1e-4):
+                      psum_axes=None, eps=1e-4):
     B, L, Dk = keys.shape
     D = keys_proj.shape[-1]
     G = query.shape[1]
@@ -524,13 +597,24 @@ def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
     kpf = kp.astype(jnp.float32)
 
     f32 = jnp.float32
+
+    def gsum(x):
+        """Sum the per-row partial sums; global over the mesh batch
+        axes inside a shard_map (psum_axes)."""
+        s = jnp.sum(x, axis=0)
+        if psum_axes is not None:
+            s = jax.lax.psum(s, psum_axes)
+        return s
+
     if enable_bn:
         n_rows = B * L * G
+        if psum_axes is not None:
+            n_rows = n_rows * jax.lax.psum(jnp.float32(1.0), psum_axes)
         s0, q0 = _stats_call(_stats0_kernel, [], [], B, bl, n_l, D, G,
                              H0, H0, qf, kpf, wk_eff, wq_eff, wmc,
                              interpret, ct, L)
-        mean0 = jnp.sum(s0, axis=0) / n_rows      # biasless x0 mean
-        var0 = jnp.sum(q0, axis=0) / n_rows - jnp.square(mean0)
+        mean0 = gsum(s0) / n_rows                 # biasless x0 mean
+        var0 = gsum(q0) / n_rows - jnp.square(mean0)
         a0 = scale0 * jax.lax.rsqrt(var0 + eps)
         c0 = shift0 - a0 * mean0                  # bias folds: see notes
         extra = [a0.reshape(1, H0).astype(f32),
@@ -546,8 +630,8 @@ def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
         s1, q1 = _stats_call(_stats1_kernel, extra, extra_specs, B, bl,
                              n_l, D, G, H1, H0, qf, kpf, wk_eff, wq_eff,
                              wmc, interpret, ct, L)
-        mean1 = jnp.sum(s1, axis=0) / n_rows
-        var1 = jnp.sum(q1, axis=0) / n_rows - jnp.square(mean1)
+        mean1 = gsum(s1) / n_rows
+        var1 = gsum(q1) / n_rows - jnp.square(mean1)
         a1 = scale1 * jax.lax.rsqrt(var1 + eps)
         c1 = shift1 - a1 * mean1
         stats = (mean0 + b0, var0, mean1 + b1, var1)
@@ -569,11 +653,12 @@ def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
     return (att,) + stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def fused_train_attention(keys, keys_proj, query, mask, k0, b0, scale0,
                           shift0, w1, b1, scale1, shift1, w2,
                           block_l=128, compute_dtype=None,
-                          interpret=None, enable_bn=True):
+                          interpret=None, enable_bn=True,
+                          psum_axes=None):
     """TRAIN-mode fused grouped target-attention scorer (VERDICT r3
     item 2b: the round-2 named lever).
 
@@ -598,25 +683,30 @@ def fused_train_attention(keys, keys_proj, query, mask, k0, b0, scale0,
     return _fused_train_impl(keys, keys_proj, query, mask, k0, b0,
                              scale0, shift0, w1, b1, scale1, shift1, w2,
                              block_l, compute_dtype, interpret,
-                             enable_bn)
+                             enable_bn, psum_axes)
 
 
 def _fta_fwd(keys, keys_proj, query, mask, k0, b0, scale0, shift0, w1,
              b1, scale1, shift1, w2, block_l, compute_dtype, interpret,
-             enable_bn):
+             enable_bn, psum_axes):
     out = _fused_train_impl(keys, keys_proj, query, mask, k0, b0,
                             scale0, shift0, w1, b1, scale1, shift1, w2,
-                            block_l, compute_dtype, interpret, enable_bn)
+                            block_l, compute_dtype, interpret, enable_bn,
+                            psum_axes)
     return out, (keys, keys_proj, query, mask, k0, b0, scale0, shift0,
                  w1, b1, scale1, shift1, w2)
 
 
-def _fta_bwd(block_l, compute_dtype, interpret, enable_bn, res, g):
+def _fta_bwd(block_l, compute_dtype, interpret, enable_bn, psum_axes,
+             res, g):
     # exact rematerialized gradient of the XLA train-mode scorer; the
     # stats outputs' cotangents flow too (they are zero in practice —
-    # running-stat updates are not differentiated)
+    # running-stat updates are not differentiated).  Under a mesh the
+    # recompute uses the same GLOBAL pmean stats, so the through-stats
+    # gradient terms transpose to the matching collectives.
     _, vjp = jax.vjp(
-        functools.partial(_xla_train_scorer, enable_bn=enable_bn), *res)
+        functools.partial(_xla_train_scorer, enable_bn=enable_bn,
+                          psum_axes=psum_axes), *res)
     return vjp(g)
 
 

@@ -184,12 +184,18 @@ def make_sharded_train_step(model, cfg: Config, mesh: Mesh,
                                          sync_params_from_opt)
     from clsr_tpu.training.losses import LossParts
 
-    raw_inner = make_train_step_fn(model, cfg, allow_pallas=False)
+    # allow_pallas=None defers to cfg.use_pallas_train_attention: on a
+    # mesh the train kernel reaches the GSPMD program through the
+    # shard_map island (pallas_attention.fused_train_attention_mesh)
+    # with GLOBAL batch-BN psums — never as a bare pallas_call.
+    from clsr_tpu.ops.pallas_attention import use_train_attention_mesh
+    raw_inner = make_train_step_fn(model, cfg, allow_pallas=None)
     il = resolve_interleaved(cfg)
 
     def raw(state, batch, rng):
         with use_sharded_tables(mesh if shard_embeddings else None,
-                                flat_batch, il):
+                                flat_batch, il), \
+             use_train_attention_mesh(mesh, flat_batch):
             state, parts = raw_inner(state, batch, rng)
         # pmn fused layout: params tables are a lagging view, refreshed
         # at the jit boundary (shard-local slice of the [N, 3D] rows)
@@ -225,7 +231,8 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
     from clsr_tpu.training.steps import (make_train_step_fn,
                                          sync_params_from_opt)
 
-    raw = make_train_step_fn(model, cfg, allow_pallas=False)
+    from clsr_tpu.ops.pallas_attention import use_train_attention_mesh
+    raw = make_train_step_fn(model, cfg, allow_pallas=None)
     il = resolve_interleaved(cfg)
 
     def multi(st, batches, rng):
@@ -235,7 +242,8 @@ def make_sharded_multi_train_step(model, cfg: Config, mesh: Mesh,
 
         idx = jnp.arange(steps_per_call)
         with use_sharded_tables(mesh if shard_embeddings else None,
-                                flat_batch, il):
+                                flat_batch, il), \
+             use_train_attention_mesh(mesh, flat_batch):
             st, parts = jax.lax.scan(body, st, (idx, batches))
         # pmn fused layout: refresh the lagging params tables once per
         # dispatch (see steps.sync_params_from_opt)

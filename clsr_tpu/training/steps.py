@@ -31,9 +31,10 @@ def make_train_step_fn(model, cfg: Config,
     `allow_pallas` gates the fused TRAIN attention scorer
     (ops/pallas_attention.py:fused_train_attention); None defers to
     cfg.use_pallas_train_attention ('auto' = TPU backend only).  The
-    mesh step builders pass False — the train kernel has no shard_map
-    wrapper yet, and a bare pallas_call must never land in a GSPMD
-    program.
+    mesh step builders also pass None and install
+    use_train_attention_mesh, routing the scorer through the shard_map
+    island (fused_train_attention_mesh) with global batch-BN psums — a
+    bare pallas_call never lands in a GSPMD program.
     """
     num_ngs = cfg.train_num_ngs
     if allow_pallas is None:

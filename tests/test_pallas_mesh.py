@@ -120,3 +120,78 @@ def test_mesh_eval_pallas_matches_single_device(monkeypatch):
     got, _ = _eval(_cfg("on"), batch, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def _train(cfg, batch, flat, key=3):
+    from clsr_tpu.parallel.mesh import make_sharded_train_step
+
+    model = get_model_class("clsr")(
+        cfg=cfg, n_users=N_USERS, n_items=N_ITEMS, n_cates=N_CATES)
+    state = create_train_state(model, cfg, batch,
+                               rng=jax.random.PRNGKey(0))
+    mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
+    shard_emb = cfg.model_parallel > 1
+    sstate = place_state(state, mesh, shard_emb)
+    step = make_sharded_train_step(model, cfg, mesh, state, shard_emb,
+                                   flat)
+    nst, parts = step(sstate, shard_batch(batch, mesh, flat),
+                      jax.random.PRNGKey(key))
+    return nst, parts
+
+
+@pytest.mark.parametrize("flat,enable_bn,dp,mp", [
+    (True, True, 4, 2), (False, True, 4, 2),
+    # data-parallel-only mesh: batch sharded, tables not — the kernel
+    # must still go through the shard_map island
+    (False, True, 8, 1),
+])
+def test_mesh_train_pallas_matches_xla(flat, enable_bn, dp, mp,
+                                       monkeypatch):
+    """Sharded TRAIN step with the fused train scorer 'on' == the XLA
+    mesh train path: identical losses (float noise) and BN running
+    stats — the proof that the shard_map island's psum'd batch-BN
+    statistics are GLOBAL over [B, L, G], not per-shard (dp=4/8 means
+    per-shard stats would diverge hard) — and the island is what ran
+    (spied)."""
+    import clsr_tpu.ops.pallas_attention as pa
+    from tests.test_mesh_compact import _one_step_close
+
+    rng = np.random.RandomState(5)
+    tb = _gbatch(rng, g=1)   # g=1: positives only, labels all-ones
+
+    want_st, want_parts = _train(
+        _cfg("off", enable_bn, dp=dp, mp=mp,
+             use_pallas_train_attention="off"), tb, flat)
+
+    called = {}
+    orig = pa.fused_train_attention_mesh
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pa, "fused_train_attention_mesh", spy)
+    got_st, got_parts = _train(
+        _cfg("off", enable_bn, dp=dp, mp=mp,
+             use_pallas_train_attention="on"), tb, flat)
+    assert called.get("hit"), "mesh train did not route through the island"
+
+    np.testing.assert_allclose(float(got_parts.loss),
+                               float(want_parts.loss),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(float(got_parts.data_loss),
+                               float(want_parts.data_loss),
+                               rtol=5e-4, atol=1e-6)
+    _one_step_close(jax.device_get(want_st.params),
+                    jax.device_get(got_st.params), 0.001)
+    if enable_bn:
+        fa = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(want_st.batch_stats))[0]
+        fb = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(got_st.batch_stats))[0]
+        assert len(fa) == len(fb) and len(fa) > 0
+        for (p_a, a), (p_b, b) in zip(fa, fb):
+            assert str(p_a) == str(p_b)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=str(p_a))
