@@ -134,6 +134,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention_block_size", type=int, default=None,
                    help=">0: blockwise long-context attention "
                         "(needs enable_bn False)")
+    p.add_argument("--write_histograms", action="store_true",
+                   help="device-computed activation/embedding histograms "
+                        "at the show_step cadence (the reference's "
+                        "tf.summary.histogram stream; JSONL + "
+                        "TensorBoard when --write_tfevents)")
+    p.add_argument("--write_tfevents", action="store_true",
+                   help="TensorBoard event files next to the JSONL "
+                        "scalars (needs tensorflow importable)")
     p.add_argument("--etl_processes", type=int, default=1,
                    help="parallel workers for expanding-history ETL")
     p.add_argument("--etl_native", action="store_true",
@@ -217,6 +225,8 @@ def make_config(args) -> "Config":
         mesh_flat_batch=args.mesh_flat_batch,
         resident_data=args.resident_data,
         autosave_every_calls=args.autosave_every_calls,
+        write_histograms=args.write_histograms,
+        write_tfevents=args.write_tfevents,
         **{k: getattr(args, k) for k in
            ("optimizer", "train_steps_per_call", "compute_dtype",
             "embedding_dtype", "attention_block_size")

@@ -216,6 +216,11 @@ class Config:
     model_dir: Optional[str] = None
     summaries_dir: Optional[str] = None
     write_tfevents: bool = False
+    # mirror of the reference's tf.summary.histogram stream (clsr.py:111,
+    # 155,171,217,222,237,266,276; sequential_base_model.py:387-438):
+    # device-computed activation/embedding histograms at the show_step
+    # cadence (training/steps.py:make_histogram_step)
+    write_histograms: bool = False
     metrics: Tuple[str, ...] = ("auc", "logloss")
     pairwise_metrics: Tuple[str, ...] = ("mean_mrr", "ndcg@2;4;6", "hit@2;4;6", "group_auc")
     weighted_metrics: Tuple[str, ...] = ("wauc",)

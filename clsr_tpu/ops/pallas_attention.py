@@ -589,12 +589,19 @@ def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
     wmc = wm.astype(ct)
 
     bl = min(block_l, max(8, L))
-    Lp = _cdiv(L, bl) * bl
-    kp = (jnp.pad(keys_proj, ((0, 0), (0, Lp - L), (0, 0)))
-          if Lp != L else keys_proj)
-    n_l = Lp // bl
+    # The stats kernels keep [_STATS_BB, bl, G, H]-shaped intermediates
+    # (kq, x0, x0^2, mask iotas) live at once, each lane-padded to 128
+    # and sublane-padded (G=5 -> 8) by Mosaic — at bl=128 that is ~25MB
+    # and overflows the 16MB scoped-vmem stack (measured on v5e at the
+    # Kuaishou L=250 shape).  Cap their L block at 32 (~6MB), with
+    # their own padding; the eval kernel (1 batch row per grid step)
+    # keeps the full block_l.
+    bls = min(bl, 32)
+    Lps = _cdiv(L, bls) * bls
+    n_ls = Lps // bls
     qf = query.astype(jnp.float32)
-    kpf = kp.astype(jnp.float32)
+    kpf_s = (jnp.pad(keys_proj, ((0, 0), (0, Lps - L), (0, 0)))
+             if Lps != L else keys_proj).astype(jnp.float32)
 
     f32 = jnp.float32
 
@@ -610,8 +617,8 @@ def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
         n_rows = B * L * G
         if psum_axes is not None:
             n_rows = n_rows * jax.lax.psum(jnp.float32(1.0), psum_axes)
-        s0, q0 = _stats_call(_stats0_kernel, [], [], B, bl, n_l, D, G,
-                             H0, H0, qf, kpf, wk_eff, wq_eff, wmc,
+        s0, q0 = _stats_call(_stats0_kernel, [], [], B, bls, n_ls, D, G,
+                             H0, H0, qf, kpf_s, wk_eff, wq_eff, wmc,
                              interpret, ct, L)
         mean0 = gsum(s0) / n_rows                 # biasless x0 mean
         var0 = gsum(q0) / n_rows - jnp.square(mean0)
@@ -627,9 +634,9 @@ def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
             pl.BlockSpec((H0, H1), lambda b, l: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        s1, q1 = _stats_call(_stats1_kernel, extra, extra_specs, B, bl,
-                             n_l, D, G, H1, H0, qf, kpf, wk_eff, wq_eff,
-                             wmc, interpret, ct, L)
+        s1, q1 = _stats_call(_stats1_kernel, extra, extra_specs, B, bls,
+                             n_ls, D, G, H1, H0, qf, kpf_s, wk_eff,
+                             wq_eff, wmc, interpret, ct, L)
         mean1 = gsum(s1) / n_rows
         var1 = gsum(q1) / n_rows - jnp.square(mean1)
         a1 = scale1 * jax.lax.rsqrt(var1 + eps)

@@ -337,3 +337,61 @@ def make_eval_step_fn(model, cfg: Config,
 def make_eval_step(model, cfg: Config) -> Callable:
     """Jitted single-device eval step -> (preds [B,G], alpha [B,G])."""
     return jax.jit(make_eval_step_fn(model, cfg))
+
+
+def _device_histogram(x: jnp.ndarray, nbins: int):
+    """Fixed-bucket histogram on device -> (counts [nbins] i32, lo, hi).
+
+    Buckets span the tensor's own [min, max] (the reference's
+    tf.summary.histogram also buckets per-tensor, per-step); only
+    nbins + 2 scalars ever cross the device->host link."""
+    x = x.astype(jnp.float32).reshape(-1)
+    lo, hi = jnp.min(x), jnp.max(x)
+    span = jnp.maximum(hi - lo, 1e-12)
+    idx = jnp.clip(((x - lo) / span * nbins).astype(jnp.int32), 0, nbins - 1)
+    counts = jnp.zeros((nbins,), jnp.int32).at[idx].add(1)
+    return counts, lo, hi
+
+
+def make_histogram_step(model, cfg: Config, nbins: int = 64) -> Callable:
+    """Jitted activation-histogram step: (state, batch) -> {tag: (counts, lo, hi)}.
+
+    TPU-native mirror of the reference's tf.summary.histogram stream
+    (clsr.py:111,155,171,217,222,237,266,276;
+    sequential_base_model.py:387-438).  Instead of shipping raw
+    activation tensors host-side every step (multi-MB through the
+    relay), the bucket COUNTS are computed on device and only
+    [nbins]+2 scalars per tag are downloaded, at the summary cadence.
+
+    Deviations from the reference, both deliberate: the forward runs in
+    eval mode (running BN stats, no dropout) on a FIXED probe batch so
+    distributions are comparable across steps, and embedding-output
+    histograms cover every table the probe batch touches
+    (lazy_adam.batch_table_ids) rather than the hand-picked five."""
+    import flax.traverse_util as tu
+
+    from clsr_tpu.training.lazy_adam import batch_table_ids
+
+    # reference tag names where a 1:1 counterpart exists
+    aux_tags = (("alpha", "alpha"),
+                ("att_fea_long", "att_fea_long"),
+                ("att_fea_short", "att_fea2"))
+
+    def step(state: TrainState, batch: Batch):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logits, aux = state.apply_fn(variables, batch, train=False)
+        hists = {"model_output": _device_histogram(logits, nbins)}
+        for key, tag in aux_tags:
+            if key in aux:
+                hists[tag] = _device_histogram(aux[key], nbins)
+        ids = batch_table_ids(batch)
+        for path, table in tu.flatten_dict(state.params).items():
+            name = path[-1]
+            if name in ids and table.ndim == 2:
+                rows = jnp.take(table, ids[name].reshape(-1).astype(jnp.int32),
+                                axis=0)
+                hists[f"{name}_output"] = _device_histogram(rows, nbins)
+        return hists
+
+    return jax.jit(step)

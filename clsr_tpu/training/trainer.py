@@ -117,6 +117,11 @@ class Trainer:
         self.eval_history: List[Tuple[int, Dict[str, float]]] = []
         self._ckpt = ocp.StandardCheckpointer() if cfg.model_dir else None
         self.summary = SummaryWriter(cfg.summaries_dir, cfg.write_tfevents)
+        # activation/embedding histogram probe (cfg.write_histograms —
+        # the reference's tf.summary.histogram stream); built lazily in
+        # fit() once a loader provides a probe batch
+        self._hist_step = None
+        self._hist_probe = None
         # device-resident train data (data/resident.py) — built lazily in
         # fit(); on a mesh the rows are sharded over the batch axes and
         # batches assembled by gather_batch_mesh (resident.py)
@@ -235,6 +240,7 @@ class Trainer:
                          f"data_loss: {dl_avg:.4f}")
                 self.summary.scalars(
                     step, {"loss": loss_avg, "data_loss": dl_avg})
+                self._maybe_histograms(step)
 
         epoch = getattr(self, "_cur_epoch", 0)
 
@@ -262,6 +268,16 @@ class Trainer:
             autosave(n_calls + t + 1)
         epoch_loss = float(total) if total is not None else 0.0
         return rng, n_steps, epoch_loss
+
+    def _maybe_histograms(self, step: int) -> None:
+        """Mirror of the reference's tf.summary.histogram stream
+        (clsr.py:111-276), at the show_step cadence: run the jitted
+        histogram step (training/steps.py:make_histogram_step) on the
+        fixed probe batch and write the device-computed buckets."""
+        if self._hist_step is None or self._hist_probe is None:
+            return
+        hists = self._hist_step(self.state, self._hist_probe)
+        self.summary.histograms(step, jax.device_get(hists))
 
     def _autosave(self, epoch, calls_done, step, rng, np_rng, perm,
                   n_use, n_calls, n_tail, total, data_total) -> None:
@@ -299,6 +315,16 @@ class Trainer:
         np_rng = np_rng or np.random.RandomState(cfg.seed)
         rng = jax.random.PRNGKey(
             cfg.seed if cfg.seed is not None else int(time.time()))
+
+        if (cfg.write_histograms and cfg.summaries_dir
+                and self._hist_step is None):
+            from clsr_tpu.training.steps import make_histogram_step
+            self._hist_step = make_histogram_step(self.model, cfg)
+            # fixed probe batch: distributions stay comparable across
+            # steps (the reference histograms whatever batch is in
+            # flight; a fixed probe is the deliberate deviation)
+            self._hist_probe = next(train_loader.train_batches(
+                cfg.batch_size, np.random.RandomState(0)))
 
         best_metric = 0.0
         self.best_epoch = 0
@@ -351,6 +377,7 @@ class Trainer:
                         "loss": loss,
                         "data_loss": float(parts.data_loss) * scale / max(n_new, 1),
                     })
+                    self._maybe_histograms(step)
 
             K = cfg.train_steps_per_call
             if use_resident:

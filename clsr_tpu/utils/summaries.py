@@ -43,6 +43,46 @@ class SummaryWriter:
                     tf.summary.scalar(k, float(v), step=step)
             self._tb.flush()
 
+    def histograms(self, step: int, hists) -> None:
+        """Write device-computed activation histograms.
+
+        `hists`: {tag: (counts [k], lo, hi)} from
+        training/steps.py:make_histogram_step — the TPU-native mirror of
+        the reference's tf.summary.histogram stream (clsr.py:111-276).
+        JSONL always; TensorBoard via the histogram plugin's [k, 3]
+        (left edge, right edge, count) proto when tfevents are on.
+        """
+        if self._jsonl is None and self._tb is None:
+            return
+        import numpy as np
+        items = {tag: (np.asarray(counts), float(lo), float(hi))
+                 for tag, (counts, lo, hi) in hists.items()}
+        if self._jsonl is not None:
+            for tag, (counts, lo, hi) in sorted(items.items()):
+                self._jsonl.write(json.dumps(
+                    {"step": step, "hist": tag, "lo": lo, "hi": hi,
+                     "counts": counts.tolist()}) + "\n")
+            self._jsonl.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            try:
+                from tensorboard.plugins.histogram import \
+                    metadata as hmeta
+            except Exception:
+                return
+            with self._tb.as_default():
+                for tag, (counts, lo, hi) in sorted(items.items()):
+                    k = counts.shape[0]
+                    edges = np.linspace(lo, hi, k + 1)
+                    buckets = np.stack(
+                        [edges[:-1], edges[1:],
+                         counts.astype(np.float64)], axis=1)
+                    tf.summary.write(
+                        tag, tf.constant(buckets, tf.float64), step=step,
+                        metadata=hmeta.create_summary_metadata(
+                            display_name=tag, description=None))
+            self._tb.flush()
+
     def close(self) -> None:
         if self._jsonl is not None:
             self._jsonl.close()
