@@ -117,6 +117,21 @@ def test_fit_writes_histogram_records(tmp_path):
         assert r["lo"] <= r["hi"]
 
 
+def test_fit_writes_histograms_on_mesh(tmp_path):
+    """The probe step is a plain jit over GSPMD-sharded state (tables
+    row-sharded over 'model') — must compile and write records."""
+    sdir = str(tmp_path / "summ_mesh")
+    model, cfg, sample, loaders = _setup(
+        tmp_path, summaries_dir=sdir, write_histograms=True,
+        data_parallel=4, model_parallel=2)
+    tr = Trainer(model, cfg, sample, log=lambda *a: None)
+    tr.fit(loaders["train"], loaders["valid"])
+    recs = [json.loads(l) for l in
+            open(os.path.join(sdir, "scalars.jsonl"))]
+    tags = {r["hist"] for r in recs if "hist" in r}
+    assert "alpha" in tags and "item_embedding_output" in tags
+
+
 def test_tb_histogram_protos(tmp_path):
     tf = pytest.importorskip("tensorflow")
     sdir = str(tmp_path / "tb")
