@@ -176,6 +176,11 @@ def main():
         "value": round(examples_per_sec, 1),
         "unit": "examples/sec",
         "vs_baseline": round(examples_per_sec / TF1_BASELINE_EXAMPLES_PER_SEC, 2),
+        # the denominator is an ESTIMATE, self-described so the driver
+        # artifact travels with its basis (VERDICT r4 item 8)
+        "vs_baseline_basis": ("estimated 4k ex/s for the TF1 reference on "
+                              "a desktop GPU; measured host-CPU replica "
+                              "618 ex/s (scripts/baseline_tf1.py) = 149x"),
     }))
 
 

@@ -114,6 +114,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume a killed run from <model_dir>/autosave "
                         "(bit-identical continuation)")
+    p.add_argument("--length_buckets", default=None,
+                   help="length-aware batching on the resident path: "
+                        "'auto', comma edges (e.g. '16'), or 'off' "
+                        "(data/resident.py:bucket_rows)")
+    p.add_argument("--resident_round_rows", type=int, default=None,
+                   help="round resident row counts up to this multiple "
+                        "(stable program shapes across datasets)")
     p.add_argument("--resident_data", default="auto",
                    choices=["auto", "on", "off"],
                    help="device-resident train data (data/resident.py)")
@@ -229,7 +236,8 @@ def make_config(args) -> "Config":
         write_tfevents=args.write_tfevents,
         **{k: getattr(args, k) for k in
            ("optimizer", "train_steps_per_call", "compute_dtype",
-            "embedding_dtype", "attention_block_size")
+            "embedding_dtype", "attention_block_size", "length_buckets",
+            "resident_round_rows")
            if getattr(args, k) is not None},
         **({"use_pallas_eval_attention": args.use_pallas_eval_attention}
            if args.use_pallas_eval_attention is not None else {}),

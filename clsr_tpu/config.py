@@ -306,6 +306,31 @@ class Config:
                                     # (data/resident.py); 'auto' turns on
                                     # when it fits resident_max_bytes
     resident_max_bytes: int = 6_000_000_000
+    resident_round_rows: int = 0    # > 1: round the resident dataset's
+                                    # (or each length bucket's) row count
+                                    # up to this multiple with never-
+                                    # eligible zero rows, so program
+                                    # shapes — and the 5-10 min TPU relay
+                                    # compiles — are shared across
+                                    # datasets/seeds (data/resident.py:
+                                    # pad_view_rows)
+    length_buckets: str = "off"     # 'off' | 'auto' | comma edges ('16')
+                                    # — length-aware batching on the
+                                    # resident path: rows are partitioned
+                                    # by history length into 2-3 buckets,
+                                    # each padded to its own Lb and
+                                    # trained by its own compiled program
+                                    # (scans/attention run Lb, not L,
+                                    # iterations — data/resident.py:
+                                    # bucket_rows).  'auto' picks edges
+                                    # minimizing executed scan iterations
+                                    # over the actual length histogram.
+                                    # Resident path only; buckets shuffle
+                                    # batch ORDER across buckets but each
+                                    # batch is single-bucket, so in-batch
+                                    # negatives draw from length-
+                                    # correlated rows (quality cell:
+                                    # docs/RESULTS_r5.md)
     drop_remainder_min: int = 5     # reference drops train batches <5 rows
                                     # (sequential_iterator.py:338-339)
     compact_rows: str = "auto"      # 'auto' | 'off' — compact row engine
@@ -458,6 +483,24 @@ class Config:
         if self.resident_data not in ("auto", "on", "off"):
             raise ValueError(
                 f"resident_data must be auto/on/off, got {self.resident_data}")
+        if self.length_buckets not in ("off", "auto"):
+            try:
+                edges = [int(e) for e in self.length_buckets.split(",")]
+            except ValueError:
+                raise ValueError(
+                    f"length_buckets must be off/auto or comma-separated "
+                    f"ints, got {self.length_buckets!r}")
+            if (sorted(edges) != edges or len(set(edges)) != len(edges)
+                    or any(e < 1 or e >= self.max_seq_length
+                           for e in edges)):
+                raise ValueError(
+                    f"length_buckets edges must be strictly ascending and "
+                    f"in [1, max_seq_length), got {self.length_buckets!r}")
+        if self.length_buckets != "off" and self.autosave_every_calls > 0:
+            raise ValueError(
+                "autosave_every_calls (mid-epoch resume) is not supported "
+                "with length_buckets — the run state stores a single "
+                "epoch permutation")
         if self.use_pallas_eval_attention not in ("auto", "on", "off"):
             raise ValueError(
                 f"use_pallas_eval_attention must be auto/on/off, got "

@@ -149,6 +149,179 @@ def epoch_permutation(eligible: np.ndarray, np_rng: np.random.RandomState,
     return out, n, n_calls, n_tail
 
 
+def _round_up8(x: int) -> int:
+    return -(-int(x) // 8) * 8
+
+
+def choose_bucket_edges(lengths: np.ndarray, L: int,
+                        min_rows: int = 1024,
+                        max_buckets: int = 3,
+                        min_gain: float = 1.10) -> list:
+    """Pick length-bucket boundaries minimizing executed scan iterations.
+
+    The measured history-length distribution is heavily short-skewed
+    (expanding histories, sequential_reviews.py:358-438 — mean ~11 of
+    L=50 on taobao-shaped data, docs/mask_density.jsonl), so padding to
+    one global L makes ~4/5 of all scan/attention iterations masked
+    carry-through work.  This brute-forces 1-3 buckets over multiple-of-8
+    candidate boundaries, minimizing sum_b rows_b * L_b (a linear-in-L
+    proxy for the scan/attention cost), subject to:
+
+      * STRICT boundaries: a bucket padded to Lb only holds rows with
+        clamped length <= Lb - 1, so column Lb-1 stays padding and the
+        reference's padded time_to_now[:, -1] fusion input
+        (clsr.py:239-248) remains exactly 0 — including for the top
+        bucket, whose Lb may shrink below L when no row fills L;
+      * every bucket holds >= min_rows rows (no near-empty programs);
+      * each extra bucket (extra compiled program) must improve the
+        executed-iteration count by >= min_gain x.
+
+    Returns the FULL ascending list of bucket paddings [L1, ..., Ltop]
+    (the last entry is the top bucket's padding, <= L).
+    """
+    tl = np.minimum(np.asarray(lengths), L).astype(np.int64)
+    n = len(tl)
+    if n == 0:
+        return [L]
+    max_tl = int(tl.max())
+    # top padding: smallest multiple of 8 with max_tl <= top - 1 (strict),
+    # except keep top = L when the data actually fills L (the reference's
+    # own shape; rows with tl == L legitimately expose time_to_now[:,L-1])
+    top = L if max_tl >= L else min(L, _round_up8(max_tl + 1))
+    counts = np.bincount(tl, minlength=L + 1).astype(np.int64)
+    cum_rows = np.cumsum(counts)           # rows with tl <= i
+
+    def cost(edges):
+        # edges: ascending inner boundaries, then top
+        total = 0
+        prev = -1
+        for e in edges:
+            hi = e - 1 if e < top else top
+            rows = int(cum_rows[min(hi, L)] - (cum_rows[prev]
+                                               if prev >= 0 else 0))
+            if e < top and rows < min_rows:
+                return None
+            total += rows * e
+            prev = min(hi, L)
+        return total
+
+    cands = [e for e in range(8, top, 8)]
+    best = [top]
+    best_cost = cost(best)
+    for k in range(1, max_buckets):
+        improved = None
+        import itertools
+        for combo in itertools.combinations(cands, k):
+            c = cost(list(combo) + [top])
+            if c is not None and (improved is None or c < improved[0]):
+                improved = (c, list(combo) + [top])
+        if improved is None or best_cost / improved[0] < min_gain:
+            break
+        best_cost, best = improved
+    return best
+
+
+def bucket_rows(lengths: np.ndarray, L: int, paddings: list):
+    """Partition row ids by clamped length into per-bucket id arrays.
+
+    `paddings`: ascending bucket paddings from choose_bucket_edges (or
+    parsed from cfg.length_buckets + the top).  Bucket with padding Lb
+    holds rows with clamped length in [prev, Lb - 1]; the top bucket
+    takes everything else (up to L).  Returns [(Lb, row_ids)] — empty
+    buckets dropped.
+    """
+    tl = np.minimum(np.asarray(lengths), L).astype(np.int64)
+    out = []
+    prev = 0
+    for i, e in enumerate(paddings):
+        top = i == len(paddings) - 1
+        hi = L if top else e - 1
+        rows = np.flatnonzero((tl >= prev) & (tl <= hi))
+        if len(rows):
+            out.append((int(e), rows))
+        prev = hi + 1
+    return out
+
+
+class _SubView:
+    """Row/column slice of a PaddedView (host arrays, bucket-padded)."""
+
+    def __init__(self, view: PaddedView, rows: np.ndarray, Lb: int):
+        self.users = view.users[rows]
+        self.items = view.items[rows]
+        self.cates = view.cates[rows]
+        self.labels = view.labels[rows]
+        self.lengths = view.lengths[rows]
+        self.item_hist = view.item_hist[rows][:, :Lb]
+        self.cate_hist = view.cate_hist[rows][:, :Lb]
+        self.time_diff = view.time_diff[rows][:, :Lb]
+        self.time_from_first = view.time_from_first[rows][:, :Lb]
+        self.time_to_now = view.time_to_now[rows][:, :Lb]
+
+
+class _PadRows:
+    """Row-count round-up with all-zero rows (length 0 — never eligible,
+    never gathered).  Stabilizes resident program shapes across datasets
+    (cfg.resident_round_rows): one compiled program serves every seed of
+    a study instead of one 5-10 min TPU relay compile per dataset."""
+
+    _FIELDS = ("users", "items", "cates", "labels", "lengths",
+               "item_hist", "cate_hist", "time_diff", "time_from_first",
+               "time_to_now")
+
+    def __init__(self, view, multiple: int):
+        n = len(view.users)
+        r = (-n) % multiple
+        for f in self._FIELDS:
+            x = np.asarray(getattr(view, f))
+            if r:
+                x = np.concatenate(
+                    [x, np.zeros((r,) + x.shape[1:], x.dtype)])
+            setattr(self, f, x)
+
+
+def pad_view_rows(view, multiple: int):
+    if multiple and multiple > 1:
+        return _PadRows(view, multiple)
+    return view
+
+
+def resolve_bucket_paddings(cfg: Config, lengths: np.ndarray) -> list:
+    """cfg.length_buckets -> ascending bucket paddings (or [] = off)."""
+    lb = getattr(cfg, "length_buckets", "off")
+    L = cfg.max_seq_length
+    if lb == "off":
+        return []
+    if lb == "auto":
+        pads = choose_bucket_edges(lengths, L,
+                                   min_rows=max(1024, 2 * cfg.batch_size))
+        return pads if len(pads) > 1 or pads[0] < L else []
+    edges = [int(e) for e in lb.split(",")]
+    tl = np.minimum(np.asarray(lengths), L)
+    max_tl = int(tl.max()) if len(tl) else L
+    top = L if max_tl >= L else min(L, _round_up8(max_tl + 1))
+    return [e for e in edges if e < top] + [top]
+
+
+def build_resident_buckets(view: PaddedView, paddings: list,
+                           mesh=None, flat: bool = False,
+                           round_rows: int = 0):
+    """Per-bucket ResidentDatasets (device- or mesh-resident).
+
+    Returns [(res_b, rows_b)]: rows_b maps bucket-LOCAL row ids back to
+    dataset rows (permutations index locally; the map is for tests /
+    debugging).  Total HBM cost is LOWER than the unbucketed upload —
+    short rows store Lb, not L, columns."""
+    out = []
+    for Lb, rows in bucket_rows(view.lengths, view.item_hist.shape[1],
+                                paddings):
+        sub = pad_view_rows(_SubView(view, rows, Lb), round_rows)
+        res = (build_resident_mesh(sub, mesh, flat) if mesh is not None
+               else build_resident(sub))
+        out.append((res, rows))
+    return out
+
+
 def resident_sharding(mesh, flat: bool = False):
     """ResidentDataset-shaped NamedSharding pytree: rows over the batch
     axes (P('data') or P(('data','model')) in flat mode), feature axes

@@ -213,6 +213,13 @@ class SequentialModelBase(nn.Module):
         logits = self.head(model_output, train)                # [B, G]
 
         aux = dict(aux)
+        if not train:
+            # pre-head concat embedding — the tensor the reference's
+            # 'model_output' histogram actually streams (clsr.py:276).
+            # Only the eval-mode histogram probe (training/steps.py)
+            # reads it; gated on eval so TRAIN programs' traced HLO (and
+            # their 5-10 min relay compile-cache entries) stay identical.
+            aux["model_output"] = model_output
         aux["embed_sumsq"] = aux.get("embed_sumsq", 0.0) + embed_sumsq
         if batch.cates.ndim == 2:
             # on-device supervised-attention label: fraction of history

@@ -114,11 +114,20 @@ def save_run_state(path: str, *, epoch: int, calls_done: int, step: int,
                    rng, np_rng: np.random.RandomState, perm: np.ndarray,
                    n_use: int, n_calls: int, n_tail: int,
                    total: float, data_total: float,
-                   best_metric: float, best_epoch: int) -> None:
+                   best_metric: float, best_epoch: int,
+                   mode: str = "resident") -> None:
     """Persist the epoch-loop position (see module docstring).  `rng` is
-    the jax key AS OF the completed-call boundary; `np_rng` has already
-    drawn this epoch's permutation, so its state is correct for every
-    FUTURE epoch; the current epoch's permutation is saved verbatim."""
+    the jax key AS OF the completed-call boundary.
+
+    mode='resident' (default): `np_rng` has already drawn this epoch's
+    permutation, so its state is correct for every FUTURE epoch; the
+    current epoch's permutation is saved verbatim.
+
+    mode='stream' (round 5, VERDICT r4 item 7): the streaming loaders
+    draw their permutation INSIDE the epoch iterator, so `np_rng` must
+    carry the EPOCH-START state — resume regenerates the identical
+    iterator and skips the first `calls_done` items host-side (no device
+    work); perm/n_use/n_tail are unused."""
     os.makedirs(path, exist_ok=True)
     mt = np_rng.get_state()      # ('MT19937', keys[624], pos, has_g, g)
     np.savez(
@@ -132,6 +141,7 @@ def save_run_state(path: str, *, epoch: int, calls_done: int, step: int,
         best_metric=np.float64(best_metric), best_epoch=np.int64(best_epoch),
         mt_keys=mt[1], mt_pos=np.int64(mt[2]),
         mt_has_gauss=np.int64(mt[3]), mt_gauss=np.float64(mt[4]),
+        mode=np.bytes_(mode.encode()),
     )
 
 
@@ -152,4 +162,6 @@ def load_run_state(path: str) -> Optional[Dict[str, Any]]:
         data_total=float(z["data_total"]),
         best_metric=float(z["best_metric"]),
         best_epoch=int(z["best_epoch"]),
+        mode=(bytes(z["mode"]).decode() if "mode" in z.files
+              else "resident"),
     )

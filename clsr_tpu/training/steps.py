@@ -340,17 +340,29 @@ def make_eval_step(model, cfg: Config) -> Callable:
 
 
 def _device_histogram(x: jnp.ndarray, nbins: int):
-    """Fixed-bucket histogram on device -> (counts [nbins] i32, lo, hi).
+    """Fixed-bucket histogram on device
+    -> (counts [nbins] i32, lo, hi, n_nonfinite).
 
-    Buckets span the tensor's own [min, max] (the reference's
+    Buckets span the tensor's own finite [min, max] (the reference's
     tf.summary.histogram also buckets per-tensor, per-step); only
-    nbins + 2 scalars ever cross the device->host link."""
+    nbins + 3 scalars ever cross the device->host link.  Non-finite
+    values (exactly the divergence regime where histograms matter) are
+    excluded from the range and the buckets and reported as a separate
+    count, so lo/hi stay finite and the JSONL stays strict-parseable."""
     x = x.astype(jnp.float32).reshape(-1)
-    lo, hi = jnp.min(x), jnp.max(x)
+    finite = jnp.isfinite(x)
+    n_nonfinite = jnp.sum(~finite)
+    lo = jnp.min(jnp.where(finite, x, jnp.inf))
+    hi = jnp.max(jnp.where(finite, x, -jnp.inf))
+    # all-non-finite tensor: pin the (empty) range to [0, 0]
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
     span = jnp.maximum(hi - lo, 1e-12)
-    idx = jnp.clip(((x - lo) / span * nbins).astype(jnp.int32), 0, nbins - 1)
-    counts = jnp.zeros((nbins,), jnp.int32).at[idx].add(1)
-    return counts, lo, hi
+    idx = jnp.clip(((jnp.where(finite, x, lo) - lo) / span * nbins)
+                   .astype(jnp.int32), 0, nbins - 1)
+    counts = (jnp.zeros((nbins,), jnp.int32)
+              .at[idx].add(finite.astype(jnp.int32)))
+    return counts, lo, hi, n_nonfinite
 
 
 def make_histogram_step(model, cfg: Config, nbins: int = 64) -> Callable:
@@ -372,16 +384,20 @@ def make_histogram_step(model, cfg: Config, nbins: int = 64) -> Callable:
 
     from clsr_tpu.training.lazy_adam import batch_table_ids
 
-    # reference tag names where a 1:1 counterpart exists
+    # reference tag names where a 1:1 counterpart exists.  'model_output'
+    # is the PRE-HEAD concat embedding (clsr.py:276), exposed via
+    # aux["model_output"] (models/base.py); the post-head logits stream
+    # under the extra tag 'logit' (no reference counterpart).
     aux_tags = (("alpha", "alpha"),
                 ("att_fea_long", "att_fea_long"),
-                ("att_fea_short", "att_fea2"))
+                ("att_fea_short", "att_fea2"),
+                ("model_output", "model_output"))
 
     def step(state: TrainState, batch: Batch):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         logits, aux = state.apply_fn(variables, batch, train=False)
-        hists = {"model_output": _device_histogram(logits, nbins)}
+        hists = {"logit": _device_histogram(logits, nbins)}
         for key, tag in aux_tags:
             if key in aux:
                 hists[tag] = _device_histogram(aux[key], nbins)

@@ -128,6 +128,11 @@ class Trainer:
         self._resident = None
         self._resident_multi = None
         self._resident_single = None
+        # length-bucketed resident data (cfg.length_buckets):
+        # [(ResidentDataset, dataset row ids)] + per-bucket eligible
+        # local row ids — built lazily alongside _resident
+        self._buckets = None
+        self._bucket_elig = None
 
     # ------------------------------------------------------------------
     def _use_resident(self, train_loader: SequenceLoader) -> bool:
@@ -166,17 +171,39 @@ class Trainer:
         Returns (rng, n_steps, epoch_loss).
         """
         from clsr_tpu.data.resident import (build_resident,
+                                            build_resident_buckets,
                                             build_resident_mesh,
                                             epoch_permutation,
                                             make_mesh_resident_multi_step,
                                             make_mesh_resident_step,
                                             make_resident_multi_step,
-                                            make_resident_step)
+                                            make_resident_step,
+                                            resolve_bucket_paddings)
         cfg = self.cfg
-        if self._resident is None:
+        if self._resident is None and self._buckets is None:
+            pads = resolve_bucket_paddings(cfg, train_loader.view.lengths)
+            if pads:
+                # length-aware batching (VERDICT r4 item 1): one
+                # bucket-padded resident dataset + compiled program per
+                # Lb (the jitted step fns retrace per res shape); call
+                # order is shuffled ACROSS buckets per epoch
+                self._buckets = build_resident_buckets(
+                    train_loader.view, pads, self._mesh, self._flat_batch,
+                    round_rows=cfg.resident_round_rows)
+                self._bucket_elig = [
+                    np.flatnonzero(train_loader.view.lengths[rows]
+                                   >= cfg.min_seq_length)
+                    for _, rows in self._buckets]
+                self.log("length buckets (Lb x rows): " + ", ".join(
+                    f"{res.seq_len}x{res.n_rows}"
+                    for res, _ in self._buckets))
             if self._mesh is not None:
-                self._resident = build_resident_mesh(
-                    train_loader.view, self._mesh, self._flat_batch)
+                if self._buckets is None:
+                    from clsr_tpu.data.resident import pad_view_rows
+                    self._resident = build_resident_mesh(
+                        pad_view_rows(train_loader.view,
+                                      cfg.resident_round_rows),
+                        self._mesh, self._flat_batch)
                 self._resident_single = make_mesh_resident_step(
                     self.model, cfg, self._mesh, self.state,
                     self._shard_emb, self._flat_batch)
@@ -186,11 +213,17 @@ class Trainer:
                         cfg.train_steps_per_call, self._shard_emb,
                         self._flat_batch)
             else:
-                self._resident = build_resident(train_loader.view)
+                if self._buckets is None:
+                    from clsr_tpu.data.resident import pad_view_rows
+                    self._resident = build_resident(
+                        pad_view_rows(train_loader.view,
+                                      cfg.resident_round_rows))
                 self._resident_single = make_resident_step(self.model, cfg)
                 if cfg.train_steps_per_call > 1:
                     self._resident_multi = make_resident_multi_step(
                         self.model, cfg, cfg.train_steps_per_call)
+        if self._buckets is not None:
+            return self._bucketed_epoch(rng, np_rng, step0)
         B = cfg.batch_size
         K = cfg.train_steps_per_call if self._resident_multi else 1
         calls_done = 0
@@ -269,6 +302,70 @@ class Trainer:
         epoch_loss = float(total) if total is not None else 0.0
         return rng, n_steps, epoch_loss
 
+    def _bucketed_epoch(self, rng, np_rng, step0: int):
+        """One epoch over length-bucketed resident data
+        (cfg.length_buckets; data/resident.py:build_resident_buckets).
+
+        Each bucket gets its own epoch permutation over its eligible
+        local rows; the resulting (bucket, call) slots are shuffled so
+        the optimizer sees buckets interleaved, not curriculum-ordered.
+        Every batch is single-bucket — in-batch negatives draw from
+        length-correlated rows (the deliberate semantic deviation from
+        global shuffling; quality cell in docs/RESULTS_r5.md).
+        """
+        from clsr_tpu.data.resident import epoch_permutation
+        cfg = self.cfg
+        B = cfg.batch_size
+        K = cfg.train_steps_per_call if self._resident_multi else 1
+        slots = []      # (bucket_idx, perm_dev, n_use, flat row offset)
+        for bi, ((res, _rows), elig) in enumerate(
+                zip(self._buckets, self._bucket_elig)):
+            perm, n_use, n_calls, n_tail = epoch_permutation(
+                elig, np_rng, B, K, cfg.drop_remainder_min)
+            if self._resident_multi is None:
+                n_calls, n_tail = 0, n_calls
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                perm_dev = jax.device_put(
+                    perm, NamedSharding(self._mesh, P()))
+            else:
+                perm_dev = jax.device_put(perm)
+            n_dev = np.int32(n_use)
+            for c in range(n_calls):
+                slots.append((bi, perm_dev, n_dev, c * K * B, True))
+            for t in range(n_tail):
+                slots.append((bi, perm_dev, n_dev,
+                              (n_calls * K + t) * B, False))
+        order = np_rng.permutation(len(slots)) if slots else []
+
+        step, n_steps = step0, 0
+        total = data_total = None
+        for bi, perm_dev, n_dev, off, is_multi in (slots[i]
+                                                   for i in order):
+            rng, sub = jax.random.split(rng)
+            res = self._buckets[bi][0]
+            fn = self._resident_multi if is_multi else self._resident_single
+            self.state, parts = fn(self.state, res, perm_dev, n_dev,
+                                   np.int32(off), sub)
+            n_new = K if is_multi else 1
+            ls, dl = parts.loss.sum(), parts.data_loss.sum()
+            total = ls if total is None else total + ls
+            data_total = dl if data_total is None else data_total + dl
+            prev = step
+            step += n_new
+            n_steps += n_new
+            if (cfg.show_step
+                    and step // cfg.show_step > prev // cfg.show_step):
+                loss_avg = float(ls) / n_new       # deliberate sync
+                dl_avg = float(dl) / n_new
+                self.log(f"step {step}, total_loss: {loss_avg:.4f}, "
+                         f"data_loss: {dl_avg:.4f}")
+                self.summary.scalars(
+                    step, {"loss": loss_avg, "data_loss": dl_avg})
+                self._maybe_histograms(step)
+        epoch_loss = float(total) if total is not None else 0.0
+        return rng, n_steps, epoch_loss
+
     def _maybe_histograms(self, step: int) -> None:
         """Mirror of the reference's tf.summary.histogram stream
         (clsr.py:111-276), at the show_step cadence: run the jitted
@@ -278,6 +375,23 @@ class Trainer:
             return
         hists = self._hist_step(self.state, self._hist_probe)
         self.summary.histograms(step, jax.device_get(hists))
+
+    def _autosave_stream(self, epoch, calls_done, step, rng, np_mt0,
+                         epoch_loss) -> None:
+        """Streaming-path run-state autosave (VERDICT r4 item 7): stores
+        the EPOCH-START host-rng state (np_mt0) so resume can regenerate
+        the identical epoch iterator and skip `calls_done` items."""
+        from clsr_tpu.training.checkpoint import save_run_state
+        auto = os.path.join(self.cfg.model_dir, "autosave")
+        self.save(os.path.join(auto, "state"))
+        tmp = np.random.RandomState(0)
+        tmp.set_state(np_mt0)
+        save_run_state(
+            auto, epoch=epoch, calls_done=calls_done, step=step, rng=rng,
+            np_rng=tmp, perm=np.zeros(0, np.int32), n_use=0, n_calls=-1,
+            n_tail=0, total=float(epoch_loss), data_total=0.0,
+            best_metric=self._best_metric, best_epoch=self.best_epoch,
+            mode="stream")
 
     def _autosave(self, epoch, calls_done, step, rng, np_rng, perm,
                   n_use, n_calls, n_tail, total, data_total) -> None:
@@ -316,6 +430,9 @@ class Trainer:
         rng = jax.random.PRNGKey(
             cfg.seed if cfg.seed is not None else int(time.time()))
 
+        if cfg.write_histograms and not cfg.summaries_dir:
+            self.log("WARNING: write_histograms is set but summaries_dir "
+                     "is empty — no histograms will be written")
         if (cfg.write_histograms and cfg.summaries_dir
                 and self._hist_step is None):
             from clsr_tpu.training.steps import make_histogram_step
@@ -339,10 +456,22 @@ class Trainer:
             auto = os.path.join(cfg.model_dir, "autosave")
             resume_info = load_run_state(auto)
             if resume_info is not None:
-                if not use_resident:
+                stream_saved = resume_info["mode"] == "stream"
+                if stream_saved and use_resident:
                     raise ValueError(
-                        "mid-epoch resume is supported on the resident "
-                        "data path only (resident_data=auto/on)")
+                        "the autosave was written by the STREAMING path "
+                        "but this run resolves to resident data — pass "
+                        "resident_data=off to resume it")
+                if not stream_saved and not use_resident:
+                    raise ValueError(
+                        "the autosave was written by the RESIDENT path "
+                        "but this run streams — pass resident_data="
+                        "auto/on to resume it")
+                if cfg.length_buckets != "off":
+                    raise ValueError(
+                        "mid-epoch resume is not supported with "
+                        "length_buckets (the autosaved run state stores "
+                        "a single epoch permutation)")
                 self.load(os.path.join(auto, "state"))
                 np_rng = resume_info["np_rng"]
                 rng = resume_info["rng"]
@@ -386,16 +515,37 @@ class Trainer:
                     resume_info=(resume_info if epoch == start_epoch
                                  else None))
                 step += n_steps
-            elif self._multi_step is not None:
-                # epoch-permute-once zero-copy stacked views; H2D upload
-                # overlaps the previous dispatch's K-step scan
-                items = train_loader.train_batches_stacked(
-                    cfg.batch_size, K, np_rng,
-                    min_seq_length=cfg.min_seq_length)
+            else:
+                # streaming path (stacked multi-step or per-batch).
+                # Mid-epoch resume (VERDICT r4 item 7): the loaders draw
+                # their permutation from np_rng INSIDE the iterator, so
+                # the autosave stores the EPOCH-START np_rng state; on
+                # resume the identical iterator is rebuilt and the first
+                # `calls_done` items are skipped host-side.
+                np_mt0 = np_rng.get_state()
+                calls_done = 0
+                if (resume_info is not None and epoch == start_epoch
+                        and resume_info["mode"] == "stream"):
+                    calls_done = resume_info["calls_done"]
+                    epoch_loss = resume_info["total"]
+                if self._multi_step is not None:
+                    # epoch-permute-once zero-copy stacked views; H2D
+                    # upload overlaps the previous dispatch's K-step scan
+                    items = train_loader.train_batches_stacked(
+                        cfg.batch_size, K, np_rng,
+                        min_seq_length=cfg.min_seq_length)
+                else:
+                    items = train_loader.train_batches(
+                        cfg.batch_size, np_rng,
+                        min_seq_length=cfg.min_seq_length)
+                for _ in range(calls_done):      # resume: skip, no device work
+                    next(items, None)
                 if cfg.prefetch_batches > 0:
                     items = prefetch_to_device(
                         items, cfg.prefetch_batches,
-                        place_fn=self._place_item)
+                        place_fn=self._place_item,
+                        sharding=(None if self._multi_step is not None
+                                  else self._batch_sharding))
                 for item in items:
                     rng, sub = jax.random.split(rng)
                     if item.users.ndim == 2:      # [K, B, ...] stacked
@@ -406,21 +556,15 @@ class Trainer:
                             self.state, item, sub)
                         emit(K, jax.tree_util.tree_map(
                             lambda x: x.sum(), parts))
-                    else:                          # tail: single steps
+                    else:                          # tail / single steps
                         self.state, parts = self.train_step(
                             self.state, item, sub)
                         emit(1, parts)
-            else:
-                batches = train_loader.train_batches(
-                    cfg.batch_size, np_rng, min_seq_length=cfg.min_seq_length)
-                if cfg.prefetch_batches > 0:
-                    batches = prefetch_to_device(
-                        batches, cfg.prefetch_batches,
-                        sharding=self._batch_sharding)
-                for batch in batches:
-                    rng, sub = jax.random.split(rng)
-                    self.state, parts = self.train_step(self.state, batch, sub)
-                    emit(1, parts)
+                    calls_done += 1
+                    if (cfg.autosave_every_calls and calls_done
+                            % cfg.autosave_every_calls == 0):
+                        self._autosave_stream(epoch, calls_done, step,
+                                              rng, np_mt0, epoch_loss)
             train_time = time.time() - t0
 
             t0 = time.time()
@@ -472,14 +616,19 @@ class Trainer:
             if cfg.save_model and cfg.model_dir and progress:
                 self.save(os.path.join(cfg.model_dir, f"epoch_{epoch}"))
 
-            if use_resident and cfg.autosave_every_calls and \
-                    epoch < cfg.epochs:
-                # epoch boundary marker (n_calls = -1: next epoch draws
-                # its permutation fresh from the restored np_rng) — covers
-                # a kill during eval / the next epoch's first calls
-                self._autosave(epoch + 1, 0, step, rng, np_rng,
-                               np.zeros(0, np.int32), -1, -1, -1,
-                               None, None)
+            if cfg.autosave_every_calls and epoch < cfg.epochs:
+                # epoch boundary marker (next epoch starts fresh from the
+                # restored np_rng) — covers a kill during eval / the next
+                # epoch's first calls
+                if use_resident:
+                    # n_calls = -1: next epoch draws its permutation
+                    # fresh from the restored np_rng
+                    self._autosave(epoch + 1, 0, step, rng, np_rng,
+                                   np.zeros(0, np.int32), -1, -1, -1,
+                                   None, None)
+                else:
+                    self._autosave_stream(epoch + 1, 0, step, rng,
+                                          np_rng.get_state(), 0.0)
 
         if cfg.autosave_every_calls and cfg.model_dir:
             # a completed fit must not be resumed into

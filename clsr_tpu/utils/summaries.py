@@ -46,22 +46,31 @@ class SummaryWriter:
     def histograms(self, step: int, hists) -> None:
         """Write device-computed activation histograms.
 
-        `hists`: {tag: (counts [k], lo, hi)} from
+        `hists`: {tag: (counts [k], lo, hi[, n_nonfinite])} from
         training/steps.py:make_histogram_step — the TPU-native mirror of
         the reference's tf.summary.histogram stream (clsr.py:111-276).
         JSONL always; TensorBoard via the histogram plugin's [k, 3]
         (left edge, right edge, count) proto when tfevents are on.
+        lo/hi are clamped to finite values so the JSONL stays strict
+        JSON even if a caller hands in a non-finite range.
         """
         if self._jsonl is None and self._tb is None:
             return
         import numpy as np
-        items = {tag: (np.asarray(counts), float(lo), float(hi))
-                 for tag, (counts, lo, hi) in hists.items()}
+
+        def fin(v):
+            return float(np.nan_to_num(float(v), posinf=0.0, neginf=0.0))
+
+        items = {tag: (np.asarray(t[0]), fin(t[1]), fin(t[2]),
+                       int(t[3]) if len(t) > 3 else 0)
+                 for tag, t in hists.items()}
         if self._jsonl is not None:
-            for tag, (counts, lo, hi) in sorted(items.items()):
-                self._jsonl.write(json.dumps(
-                    {"step": step, "hist": tag, "lo": lo, "hi": hi,
-                     "counts": counts.tolist()}) + "\n")
+            for tag, (counts, lo, hi, bad) in sorted(items.items()):
+                rec = {"step": step, "hist": tag, "lo": lo, "hi": hi,
+                       "counts": counts.tolist()}
+                if bad:
+                    rec["nonfinite"] = bad
+                self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
         if self._tb is not None:
             import tensorflow as tf
@@ -71,7 +80,7 @@ class SummaryWriter:
             except Exception:
                 return
             with self._tb.as_default():
-                for tag, (counts, lo, hi) in sorted(items.items()):
+                for tag, (counts, lo, hi, _bad) in sorted(items.items()):
                     k = counts.shape[0]
                     edges = np.linspace(lo, hi, k + 1)
                     buckets = np.stack(

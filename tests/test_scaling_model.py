@@ -127,3 +127,27 @@ def test_owner_routing_moves_fewer_bytes():
     tb = summarize(colls_b, loop_multiplier=1)["total"]
     to = summarize(colls_o, loop_multiplier=1)["total"]
     assert to < tb, (to, tb)
+
+
+def test_model_within_host_moves_bytes_onto_ici():
+    """The round-5 8-chip mitigation (docs/SCALING.md): turning the mesh
+    so the MODEL axis is the within-host axis (2x4 vs 4x2) must shift
+    wire bytes from the cross-host axis classification ('data'/'both')
+    onto 'model' — the basis of the >=90%-at-8-chips prediction."""
+    rng = np.random.RandomState(0)
+    batch = _batch(rng, N_ITEMS, N_CATES, N_USERS)
+    kw = dict(mesh_flat_batch="on", mesh_update_routing="owner",
+              mesh_owner_capacity=1.0, mesh_owner_overflow="drop")
+
+    def split(d, m):
+        colls = _compiled_colls(_cfg("gru4rec", dp=d, mp=m, **kw),
+                                batch, d, m, True)
+        s = summarize(colls, loop_multiplier=1)
+        cross = (s.get("axis/data", 0.0) + s.get("axis/both", 0.0)
+                 + s.get("axis/unknown", 0.0))
+        return s.get("axis/model", 0.0), cross
+
+    m42_model, m42_cross = split(4, 2)
+    m24_model, m24_cross = split(2, 4)
+    assert m24_cross < m42_cross, (m24_cross, m42_cross)
+    assert m24_model > m42_model, (m24_model, m42_model)

@@ -29,8 +29,9 @@ from clsr_tpu.utils.summaries import SummaryWriter
 def test_device_histogram_matches_numpy():
     r = np.random.RandomState(0)
     x = r.randn(512).astype(np.float32) * 3.1 + 0.7
-    counts, lo, hi = jax.jit(lambda v: _device_histogram(v, 32))(
+    counts, lo, hi, bad = jax.jit(lambda v: _device_histogram(v, 32))(
         jnp.asarray(x))
+    assert int(bad) == 0
     counts = np.asarray(counts)
     assert counts.sum() == x.size
     assert float(lo) == pytest.approx(x.min(), rel=1e-6)
@@ -41,9 +42,32 @@ def test_device_histogram_matches_numpy():
 
 
 def test_constant_tensor_histogram():
-    counts, lo, hi = _device_histogram(jnp.full((64,), 2.5), 16)
+    counts, lo, hi, _ = _device_histogram(jnp.full((64,), 2.5), 16)
     assert np.asarray(counts).sum() == 64
     assert float(lo) == float(hi) == 2.5
+
+
+def test_nonfinite_histogram():
+    """NaN/Inf (the divergence regime) must not poison the buckets: they
+    are excluded from [lo, hi], counted separately, and the JSONL record
+    stays strict JSON (ADVICE r4)."""
+    x = jnp.asarray([1.0, 2.0, jnp.nan, jnp.inf, -jnp.inf, 3.0])
+    counts, lo, hi, bad = jax.jit(lambda v: _device_histogram(v, 8))(x)
+    assert int(bad) == 3
+    assert np.asarray(counts).sum() == 3
+    assert float(lo) == 1.0 and float(hi) == 3.0
+    # all-non-finite: empty buckets, pinned [0, 0] range
+    counts, lo, hi, bad = _device_histogram(jnp.full((4,), jnp.nan), 8)
+    assert int(bad) == 4 and np.asarray(counts).sum() == 0
+    assert float(lo) == float(hi) == 0.0
+    # writer emits strict JSON with the nonfinite count
+    import io, json as _json
+    w = SummaryWriter.__new__(SummaryWriter)
+    w.log_dir, w._tb = None, None
+    w._jsonl = io.StringIO()
+    w.histograms(1, {"t": (np.array([1, 2]), 0.0, 1.0, 3)})
+    rec = _json.loads(w._jsonl.getvalue())
+    assert rec["nonfinite"] == 3 and rec["counts"] == [1, 2]
 
 
 def _setup(tmp_path, **cfg_kw):
@@ -85,16 +109,16 @@ def test_histogram_step_tags_and_mass(tmp_path):
     state = create_train_state(model, cfg, sample)
     hists = jax.device_get(make_histogram_step(model, cfg)(state, sample))
     # reference tags with a 1:1 counterpart must be present
-    for tag in ("model_output", "alpha", "att_fea_long", "att_fea2",
+    for tag in ("model_output", "logit", "alpha", "att_fea_long", "att_fea2",
                 "item_embedding_output", "user_long_embedding_output",
                 "user_short_embedding_output", "cate_embedding_output"):
         assert tag in hists, sorted(hists)
-    for tag, (counts, lo, hi) in hists.items():
+    for tag, (counts, lo, hi, _bad) in hists.items():
         assert counts.sum() > 0, tag
         assert np.isfinite([lo, hi]).all(), tag
         assert lo <= hi, tag
     # alpha counts must cover exactly B*G sigmoid outputs in [0, 1]
-    counts, lo, hi = hists["alpha"]
+    counts, lo, hi, _bad = hists["alpha"]
     B, G = sample.users.shape[0], sample.items.shape[1]
     assert counts.sum() == B * G
     assert 0.0 <= lo <= hi <= 1.0
