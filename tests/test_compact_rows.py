@@ -165,6 +165,7 @@ def test_compact_matches_legacy_one_step(model):
             err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_compact_loss_trajectory_tracks_legacy():
     n_items, n_cates, n_users = 60, 15, 25
     rng_np = np.random.RandomState(2)

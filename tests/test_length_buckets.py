@@ -196,11 +196,14 @@ def test_auto_noops_on_tiny_data(tmp_path):
     path."""
     model, cfg, sample, loaders = _setup(tmp_path, length_buckets="auto")
     tr = Trainer(model, cfg, sample, log=lambda *a: None)
-    tr.fit(loaders["train"], loaders["valid"])
+    rng, n_steps, _loss = tr._resident_epoch(
+        loaders["train"], jax.random.PRNGKey(0),
+        np.random.RandomState(0), 0)
     assert tr._buckets is None and tr._resident is not None
-    assert np.isfinite(tr.eval_history[-1][1]["wauc"])
+    assert n_steps > 0
 
 
+@pytest.mark.slow
 def test_bucketed_step_count_matches_unbucketed(tmp_path):
     """Bucketing must train on (almost) the same rows: total steps per
     epoch may differ only by per-bucket trailing-batch drops."""
@@ -218,6 +221,7 @@ def test_bucketed_step_count_matches_unbucketed(tmp_path):
     assert abs(n_steps_bucketed - n_steps_plain) <= n_buckets + 1
 
 
+@pytest.mark.slow
 def test_bucketed_fit_mesh(tmp_path):
     model, cfg, sample, loaders = _setup(
         tmp_path, length_buckets="8", data_parallel=4, model_parallel=2)

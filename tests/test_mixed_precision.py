@@ -88,6 +88,7 @@ def test_bf16_recurrences_close_to_f32():
                                    atol=0.03)
 
 
+@pytest.mark.slow
 def test_bf16_embedding_storage_trains():
     """bf16 tables + lazyadam: params stored bf16, moments f32, training
     moves touched rows and loss decreases."""

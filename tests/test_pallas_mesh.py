@@ -140,10 +140,13 @@ def _train(cfg, batch, flat, key=3):
 
 
 @pytest.mark.parametrize("flat,enable_bn,dp,mp", [
-    (True, True, 4, 2), (False, True, 4, 2),
-    # data-parallel-only mesh: batch sharded, tables not — the kernel
-    # must still go through the shard_map island
-    (False, True, 8, 1),
+    (True, True, 4, 2),
+    # the non-flat 4x2 and data-parallel-only 8x1 variants (batch
+    # sharded, tables not — the kernel must still go through the
+    # shard_map island) are full-suite coverage (suite budget,
+    # VERDICT r4 item 6)
+    pytest.param(False, True, 4, 2, marks=pytest.mark.slow),
+    pytest.param(False, True, 8, 1, marks=pytest.mark.slow),
 ])
 def test_mesh_train_pallas_matches_xla(flat, enable_bn, dp, mp,
                                        monkeypatch):

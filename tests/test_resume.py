@@ -119,6 +119,7 @@ def test_kill_and_resume_bit_identical(tmp_path):
                   jax.device_get(tr_c.state).params)
 
 
+@pytest.mark.slow
 def test_resume_without_autosave_starts_fresh(tmp_path):
     tr, loaders, logs = _setup(tmp_path, "fresh", epochs=1)
     tr.fit(loaders["train"], loaders["valid"], resume=True)

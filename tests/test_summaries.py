@@ -141,6 +141,7 @@ def test_fit_writes_histogram_records(tmp_path):
         assert r["lo"] <= r["hi"]
 
 
+@pytest.mark.slow
 def test_fit_writes_histograms_on_mesh(tmp_path):
     """The probe step is a plain jit over GSPMD-sharded state (tables
     row-sharded over 'model') — must compile and write records."""
