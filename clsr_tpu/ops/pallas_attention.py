@@ -241,7 +241,17 @@ def fused_eval_attention(keys: jnp.ndarray, keys_proj: jnp.ndarray,
     G = query.shape[1]
     H0 = wm.shape[1]
     H1 = w1.shape[1]
-    ct = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    # Kernel-internal math is ALWAYS f32: under compute_dtype=bfloat16
+    # the broadcast kq = kp[:,None,:]*q[None,:,:] lowers to a bf16
+    # minor-dim-inserting tpu.reshape that this Mosaic toolchain rejects
+    # ("infer-vector-layout: unsupported shape cast", observed round 5
+    # on v5e).  bf16 callers keep their HBM savings — the kernel's
+    # INPUT refs (keys/query/weights) arrive in the caller's dtype and
+    # are upcast on load; the scorer is VMEM-resident so the internal
+    # dtype costs no HBM traffic, and f32 accumulation only tightens
+    # the numerics vs the XLA bf16 path.
+    del compute_dtype
+    ct = jnp.float32
     if interpret is None:   # CPU (tests' virtual mesh) has no Mosaic
         interpret = jax.default_backend() == "cpu"
 
@@ -580,7 +590,11 @@ def _fused_train_impl(keys, keys_proj, query, mask, k0, b0, scale0,
     G = query.shape[1]
     H0 = w1.shape[0]
     H1 = w1.shape[1]
-    ct = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    # f32 internal math always — the bf16 broadcast kq product lowers to
+    # a minor-dim-inserting tpu.reshape this Mosaic toolchain rejects
+    # (same pathology as fused_eval_attention above); bf16 callers keep
+    # their HBM-side savings, kernels are VMEM-resident.
+    ct = jnp.float32
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     wk, wq, wd, wm = k0[:D], k0[D:2 * D], k0[2 * D:3 * D], k0[3 * D:]
