@@ -2,7 +2,7 @@
 REAL parsed TSV data.
 
 Round-1 benched with on-device-synthesized batches; VERDICT.md round 1
-called out the host-feed gap.  This round the framework trains from a
+called out the host-feed gap.  Since round 2 the framework trains from a
 device-RESIDENT dataset (clsr_tpu/data/resident.py): a Taobao-shaped TSV
 file (expanding histories, 100k-item vocab, L=50) is written, parsed by
 the native C++ parser, padded once, uploaded to HBM once, and every
@@ -13,22 +13,36 @@ Host work per epoch: one np.random.permutation + a 4B/row upload.
 Measured config — the framework's recommended production settings:
   * lazyadam — sparse row-wise Adam on the embedding tables, one of the
     reference's own optimizer options (base_model.py:275-276);
-  * 16 optimizer steps per dispatch via lax.scan
+  * K optimizer steps per dispatch via lax.scan
     (data/resident.py:make_resident_multi_step), amortizing per-call
-    dispatch overhead (~0.1-0.7ms through the dev-chip relay).
+    dispatch overhead;
+  * LENGTH-AWARE batching (round 5, `length_buckets: auto`): rows are
+    partitioned by history length into 2-3 buckets, each padded to its
+    own Lb with its own compiled program (data/resident.py:bucket_rows)
+    — the measured mask density of expanding-history data is ~22%
+    (docs/mask_density.jsonl), so padding every row to L=50 made ~4/5
+    of all scan/attention iterations masked carry-through work.
+    Honest A/B: 1.81x over the flat arm (docs/RESULTS_r5.md); paired
+    5-seed quality cell shows no GAUC shift.  BENCH_LENGTH_BUCKETS=off
+    reproduces the round-2..4 flat-arm protocol.
 
 Protocol (HONEST, round 2): the dev-chip relay enqueues asynchronously
 until the first device->host read, so naive block_until_ready timings
 measure an ENQUEUE rate (this produced the round-1 7-10M figures; see
 clsr_tpu/utils/device.py for the full pathology).  This bench forces
 synchronous dispatch (utils/device.force_sync_dispatch) after warmup,
-runs 128 optimizer steps per dispatch to amortize the ~25ms sync-mode
+runs K>=77 optimizer steps per dispatch to amortize the ~25ms sync-mode
 relay round-trip to <3%, and reports the median of timed calls; each
 call sees a fresh rng + donated state + a different epoch offset, so
 the relay cannot cache; per-call losses must evolve and stay finite
-(asserted).  Loss download happens after timing.
+(asserted).  Loss download happens after timing.  With buckets the
+reported number is the epoch-rate combination
+  ex/s = N_total / sum_b(rows_b / r_b),  r_b = B * K_b / t_b
+(the time one epoch spends in bucket b is rows_b / r_b) — the same
+full-call accounting the flat arm uses.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"vs_baseline_basis", "length_buckets"}.
 
 Baseline: the reference (TF1.15 graph mode, feed_dict, 3 dynamic_rnn
 while-loops per step, host-side negative sampling) publishes no
@@ -58,6 +72,7 @@ N_USERS = 8_000
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 SEQ = 50
 STEPS_PER_CALL = int(os.environ.get("BENCH_STEPS_PER_CALL", "128"))
+BUCKETS = os.environ.get("BENCH_LENGTH_BUCKETS", "auto")
 WARMUP_CALLS = 3
 CALLS = 12
 
@@ -70,8 +85,11 @@ def main():
     from __graft_entry__ import _taobao_cfg
     from clsr_tpu.data.loader import SequenceLoader
     from clsr_tpu.data.parser import parse_file
-    from clsr_tpu.data.resident import (build_resident, epoch_permutation,
-                                        make_resident_multi_step)
+    from clsr_tpu.data.resident import (build_resident,
+                                        build_resident_buckets,
+                                        epoch_permutation,
+                                        make_resident_multi_step,
+                                        resolve_bucket_paddings)
     from clsr_tpu.data.synthetic import write_synthetic_dataset_fast
     from clsr_tpu.data.vocab import load_vocab
     from clsr_tpu.models.registry import get_model_class
@@ -89,7 +107,8 @@ def main():
     if os.environ.get("BENCH_TRAIN_KERNEL"):
         extra["use_pallas_train_attention"] = os.environ["BENCH_TRAIN_KERNEL"]
     cfg = _taobao_cfg(batch_size=BATCH, optimizer="lazyadam",
-                      train_steps_per_call=STEPS_PER_CALL, **extra)
+                      train_steps_per_call=STEPS_PER_CALL,
+                      length_buckets=BUCKETS, **extra)
 
     t0 = time.perf_counter()
     data_dir = os.path.join(tempfile.gettempdir(), "clsr_bench_data")
@@ -104,6 +123,7 @@ def main():
               for n in ("user", "item", "cate")]
     ds = parse_file(train_file, *vocabs, time_unit="s")
     loader = SequenceLoader(ds, SEQ)
+    view = loader.view
     n_rows = len(ds)
     print(f"# parse+pad {n_rows} rows: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
@@ -112,65 +132,87 @@ def main():
         cfg=cfg, n_users=len(vocabs[0]), n_items=len(vocabs[1]),
         n_cates=len(vocabs[2]))
 
+    # ---- resident data: one flat dataset, or per-length buckets -------
+    pads = resolve_bucket_paddings(cfg, view.lengths)
     t0 = time.perf_counter()
-    res = build_resident(loader.view)
-    jax.block_until_ready(res.item_hist)
-    print(f"# resident upload {res.nbytes()/1e6:.0f}MB: "
+    if pads:
+        parts = [(res, np.flatnonzero(view.lengths[rows] >= 1))
+                 for res, rows in build_resident_buckets(view, pads)]
+    else:
+        parts = [(build_resident(view),
+                  np.flatnonzero(view.lengths >= 1))]
+    jax.block_until_ready(parts[0][0].item_hist)
+    nbytes = sum(res.nbytes() for res, _ in parts)
+    print(f"# resident upload {nbytes/1e6:.0f}MB "
+          f"({len(parts)} bucket(s) {[r.seq_len for r, _ in parts]}): "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    multi = make_resident_multi_step(model, cfg, STEPS_PER_CALL)
     sample = next(loader.train_batches(BATCH, np.random.RandomState(0)))
     state = create_train_state(model, cfg, sample)
     rng = jax.random.PRNGKey(0)
     np_rng = np.random.RandomState(0)
-    eligible = np.flatnonzero(loader.view.lengths >= 1)
 
-    def epoch_calls():
+    buckets = []
+    for res, elig in parts:
+        K = min(STEPS_PER_CALL, max(1, len(elig) // BATCH))
+        buckets.append(dict(
+            res=res, elig=elig, K=K, rows=len(elig),
+            fn=make_resident_multi_step(model, cfg, K)))
+
+    def call_slots(b):
         """Yield (perm_dev, n, offset) call slots, fresh perm per epoch."""
         while True:
             perm, n, n_calls, _ = epoch_permutation(
-                eligible, np_rng, BATCH, STEPS_PER_CALL)
+                b["elig"], np_rng, BATCH, b["K"])
             perm_dev = jax.device_put(perm)
-            for c in range(n_calls):
-                yield perm_dev, np.int32(n), np.int32(c * STEPS_PER_CALL * BATCH)
+            for c in range(max(n_calls, 1)):
+                yield perm_dev, np.int32(n), np.int32(c * b["K"] * BATCH)
 
-    slots = epoch_calls()
+    for b in buckets:
+        b["slots"] = call_slots(b)
 
     from clsr_tpu.utils.device import force_sync_dispatch
 
     for w in range(WARMUP_CALLS):
-        perm_dev, n, off = next(slots)
-        rng, sub = jax.random.split(rng)
-        state, losses = multi(state, res, perm_dev, n, off, sub)
-        jax.block_until_ready(losses.loss)
+        for b in buckets:
+            perm_dev, n, off = next(b["slots"])
+            rng, sub = jax.random.split(rng)
+            state, losses = b["fn"](state, b["res"], perm_dev, n, off, sub)
+            jax.block_until_ready(losses.loss)
         if w == 0:
             # after compile+first call: flip the relay into synchronous
             # dispatch so the timed block_until_ready calls below measure
             # execution, not enqueue
             force_sync_dispatch()
 
-    times = []
     loss_trace = []
-    for _ in range(CALLS):
-        perm_dev, n, off = next(slots)
-        rng, sub = jax.random.split(rng)
-        t0 = time.perf_counter()
-        state, losses = multi(state, res, perm_dev, n, off, sub)
-        jax.block_until_ready(losses.loss)
-        times.append(time.perf_counter() - t0)
-        # keep the device scalar; host download happens AFTER timing (a
-        # device->host read through the relay costs ~140ms of latency)
-        loss_trace.append(losses.loss[-1])
+    for b in buckets:
+        times = []
+        for _ in range(CALLS):
+            perm_dev, n, off = next(b["slots"])
+            rng, sub = jax.random.split(rng)
+            t0 = time.perf_counter()
+            state, losses = b["fn"](state, b["res"], perm_dev, n, off, sub)
+            jax.block_until_ready(losses.loss)
+            times.append(time.perf_counter() - t0)
+            # keep the device scalar; host download happens AFTER timing
+            # (a device->host read through the relay costs ~140ms)
+            loss_trace.append(losses.loss[-1])
+        times.sort()
+        b["t_med"] = times[len(times) // 2]
+        b["rate"] = BATCH * b["K"] / b["t_med"]
+        print(f"# bucket L={b['res'].seq_len} K={b['K']}: call ms min "
+              f"{times[0]*1e3:.2f} / med {b['t_med']*1e3:.2f} / p90 "
+              f"{times[int(len(times)*0.9)]*1e3:.2f} = {b['rate']:,.0f} "
+              f"ex/s", file=sys.stderr)
 
     loss_trace = [float(l) for l in loss_trace]
     assert all(np.isfinite(l) for l in loss_trace), loss_trace
     assert len(set(loss_trace)) > 1, "losses identical across calls"
 
-    times.sort()
-    dt = times[len(times) // 2]
-    examples_per_sec = BATCH * STEPS_PER_CALL / dt
-    print(f"# call times ms: min {times[0]*1e3:.2f} / med {dt*1e3:.2f} / "
-          f"p90 {times[int(len(times)*0.9)]*1e3:.2f}", file=sys.stderr)
+    total_rows = sum(b["rows"] for b in buckets)
+    epoch_t = sum(b["rows"] / b["rate"] for b in buckets)
+    examples_per_sec = total_rows / epoch_t
     print(json.dumps({
         "metric": "clsr_train_throughput_1chip",
         "value": round(examples_per_sec, 1),
@@ -180,7 +222,10 @@ def main():
         # artifact travels with its basis (VERDICT r4 item 8)
         "vs_baseline_basis": ("estimated 4k ex/s for the TF1 reference on "
                               "a desktop GPU; measured host-CPU replica "
-                              "618 ex/s (scripts/baseline_tf1.py) = 149x"),
+                              "618 ex/s (scripts/baseline_tf1.py) = "
+                              f"{round(examples_per_sec / 618.0)}x"),
+        "length_buckets": ([b["res"].seq_len for b in buckets]
+                           if pads else "off"),
     }))
 
 

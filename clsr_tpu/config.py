@@ -331,6 +331,18 @@ class Config:
                                     # negatives draw from length-
                                     # correlated rows (quality cell:
                                     # docs/RESULTS_r5.md)
+    bn_stats_mask: str = "auto"     # 'auto' | 'on' | 'off' — mask-aware
+                                    # attention-scorer BN batch stats
+                                    # (ops/mlp.py:MaskedBatchNorm):
+                                    # statistics over REAL history
+                                    # positions only, so they are
+                                    # padding-proportion-invariant.
+                                    # Required by length_buckets (each
+                                    # bucket pads differently); 'auto' =
+                                    # on exactly when length_buckets is.
+                                    # Off = reference-faithful BN (stats
+                                    # include padded positions at the
+                                    # constant L)
     drop_remainder_min: int = 5     # reference drops train batches <5 rows
                                     # (sequential_iterator.py:338-339)
     compact_rows: str = "auto"      # 'auto' | 'off' — compact row engine
@@ -496,6 +508,10 @@ class Config:
                 raise ValueError(
                     f"length_buckets edges must be strictly ascending and "
                     f"in [1, max_seq_length), got {self.length_buckets!r}")
+        if self.bn_stats_mask not in ("auto", "on", "off"):
+            raise ValueError(
+                f"bn_stats_mask must be auto/on/off, got "
+                f"{self.bn_stats_mask}")
         if self.length_buckets != "off" and self.autosave_every_calls > 0:
             raise ValueError(
                 "autosave_every_calls (mid-epoch resume) is not supported "

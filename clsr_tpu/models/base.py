@@ -37,6 +37,17 @@ from clsr_tpu.parallel.embedding import gather_rows, gather_rows_replicated
 
 
 
+def bn_stats_mask_active(cfg) -> bool:
+    """Resolve cfg.bn_stats_mask: mask-aware attention-scorer BN batch
+    statistics (ops/mlp.py:MaskedBatchNorm).  'auto' = on exactly when
+    length-aware batching is — per-bucket padding proportions otherwise
+    feed bucket-specific statistics into one shared running average
+    (docs/RESULTS_r5.md quality cell)."""
+    v = getattr(cfg, "bn_stats_mask", "auto")
+    return v == "on" or (v == "auto"
+                         and getattr(cfg, "length_buckets", "off") != "off")
+
+
 def compute_dtype(cfg: Config):
     """None for float32 (default), else the jnp dtype for mixed precision."""
     if cfg.compute_dtype in ("float32", "f32", None):

@@ -104,10 +104,12 @@ class CLSRModel(SequentialModelBase):
                 block_size=cfg.attention_block_size, kernel_init=init,
                 dtype=compute_dtype(cfg), name=name)
         else:
+            from clsr_tpu.models.base import bn_stats_mask_active
             att_cls = lambda name: TargetAttention(
                 cfg.att_fcn_layer_sizes, cfg.activation,
                 enable_bn=cfg.enable_bn, kernel_init=init,
-                dtype=compute_dtype(cfg), name=name)
+                dtype=compute_dtype(cfg),
+                bn_stats_mask=bn_stats_mask_active(cfg), name=name)
         att_fea_long = att_cls("long_term_att")(
             user_long, hist, mask, train=train)     # [B, 40]
         hist_mean = ((hist * mask[..., None]).sum(1)

@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from clsr_tpu.data.batch import Batch
-from clsr_tpu.models.base import (EmbedContext, SequentialModelBase,
+from clsr_tpu.models.base import (bn_stats_mask_active, EmbedContext, SequentialModelBase,
                                   compute_dtype)
 from clsr_tpu.ops.attention import TargetAttention
 from clsr_tpu.ops.initializers import get_initializer
@@ -24,7 +24,8 @@ class DINModel(SequentialModelBase):
         hist_sum = (hist * mask[..., None]).sum(axis=1)           # [B, D]
         att_fea = TargetAttention(
             cfg.att_fcn_layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            kernel_init=init, dtype=compute_dtype(cfg), name="attention_fcn",
+            kernel_init=init, dtype=compute_dtype(cfg),
+            bn_stats_mask=bn_stats_mask_active(cfg), name="attention_fcn",
         )(ctx.target_emb, hist, mask, train=train)                # [B, G, D]
 
         sum_g = jnp.broadcast_to(hist_sum[:, None, :],

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from clsr_tpu.data.batch import Batch
-from clsr_tpu.models.base import (EmbedContext, SequentialModelBase,
+from clsr_tpu.models.base import (bn_stats_mask_active, EmbedContext, SequentialModelBase,
                                   compute_dtype)
 from clsr_tpu.ops.attention import SoftAttention, TargetAttention
 from clsr_tpu.ops.initializers import get_initializer
@@ -39,7 +39,8 @@ class SLIRecModel(SequentialModelBase):
 
         att_fea2 = TargetAttention(
             cfg.att_fcn_layer_sizes, cfg.activation, enable_bn=cfg.enable_bn,
-            kernel_init=init, dtype=compute_dtype(cfg), name="attention_fcn",
+            kernel_init=init, dtype=compute_dtype(cfg),
+            bn_stats_mask=bn_stats_mask_active(cfg), name="attention_fcn",
         )(ctx.target_emb, rnn_outputs, mask, train=train)         # [B, G, H]
 
         fea1_g = jnp.broadcast_to(att_fea1[:, None, :],

@@ -37,6 +37,10 @@ class TargetAttention(nn.Module):
     enable_bn: bool = False
     kernel_init: nn.initializers.Initializer = nn.initializers.truncated_normal(stddev=0.01)
     dtype: "jnp.dtype | None" = None   # compute dtype of the scorer MLP
+    # mask-aware BN batch statistics (ops/mlp.py:MaskedBatchNorm) — the
+    # padding-proportion-invariant stats length-aware batching requires;
+    # set from cfg.bn_stats_mask by the models
+    bn_stats_mask: bool = False
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, keys: jnp.ndarray,
@@ -110,6 +114,7 @@ class TargetAttention(nn.Module):
         # variable paths.
         if (pa.train_attention_enabled() and train and not return_weights
                 and not self.is_initializing()
+                and not (self.bn_stats_mask and self.enable_bn)
                 and pa.active_eval_mesh() is None
                 and len(self.layer_sizes) == 2
                 and all(self.activations[min(i, len(self.activations) - 1)]
@@ -164,7 +169,10 @@ class TargetAttention(nn.Module):
                         kernel_init=self.kernel_init, dtype=self.dtype,
                         name="att_fcn")(
             None, train=train,
-            split_parts=(att_inputs, query.astype(ct)))[..., 0]  # [B,L,G]
+            split_parts=(att_inputs, query.astype(ct)),
+            stats_weight=(mask[:, :, None, None]
+                          if (self.bn_stats_mask and self.enable_bn)
+                          else None))[..., 0]                    # [B,L,G]
         logits = logits.astype(jnp.float32)   # stable masked softmax
 
         masked = jnp.where(mask[:, :, None] > 0, logits, MASK_PADDING_VALUE)

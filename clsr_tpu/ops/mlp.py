@@ -89,6 +89,60 @@ class SplitFirstDense(nn.Module):
                 + bias.astype(ct))
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics cover REAL (weighted) positions
+    only.
+
+    Length-aware batching (data/resident.py:bucket_rows) gives every
+    compiled bucket program a different padding proportion, while
+    nn.BatchNorm's batch statistics average over ALL positions —
+    including padded ones, whose activations are the query-broadcast
+    terms, not zeros.  Per-bucket programs then train against
+    bucket-specific normalizations while eval applies one mixed running
+    affine — measured -14pt GAUC on the bimodal cell
+    (docs/RESULTS_r5.md).  Weighting the statistics by the position
+    mask makes them padding-proportion-INVARIANT: every bucket (and the
+    full-L eval batch) sees the same distribution.  This deviates from
+    the reference's tf BN, which averages the padded positions too at a
+    CONSTANT L (clsr.py:355-368 scorer under base_model.py:673-679 BN);
+    active only under cfg.bn_stats_mask (default 'auto' = on exactly
+    when length_buckets is).
+
+    The variable tree (params scale/bias, batch_stats mean/var — names,
+    shapes, inits) is identical to nn.BatchNorm, so checkpoints are
+    interchangeable between the two."""
+
+    momentum: float = 0.95
+    epsilon: float = 1e-4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, weight: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (C,))
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        if train and not self.is_initializing():
+            wb = jnp.broadcast_to(weight.astype(jnp.float32),
+                                  xf.shape[:-1] + (1,))
+            den = jnp.maximum(jnp.sum(wb, axis=axes), 1.0)
+            mean = jnp.sum(xf * wb, axis=axes) / den
+            var = jnp.sum(wb * jnp.square(xf - mean), axis=axes) / den
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class _BNStatsUpdate(nn.Module):
     """Stand-in for nn.BatchNorm when the normalization itself was
     computed by the fused train scorer (ops/pallas_attention.py
@@ -138,7 +192,8 @@ class FcnNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Optional[jnp.ndarray], train: bool = False,
-                 split_parts=None, manual_bn_stats=None) -> jnp.ndarray:
+                 split_parts=None, manual_bn_stats=None,
+                 stats_weight=None) -> jnp.ndarray:
         if manual_bn_stats is not None:
             # the fused train scorer (ops/pallas_attention.py) computed
             # the forward and the batch statistics itself; this call
@@ -159,10 +214,18 @@ class FcnNet(nn.Module):
                              bias_init=nn.initializers.zeros, dtype=self.dtype,
                              name=f"w_nn_layer{idx}")(x)
             if self.enable_bn:
-                x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.95, epsilon=1e-4,
-                                 dtype=self.dtype,
-                                 name=f"bn{idx}")(x)
+                if stats_weight is not None:
+                    # padding-invariant batch statistics (length-aware
+                    # batching; see MaskedBatchNorm) — same variable tree
+                    x = MaskedBatchNorm(momentum=0.95, epsilon=1e-4,
+                                        dtype=self.dtype,
+                                        name=f"bn{idx}")(x, stats_weight,
+                                                         train)
+                else:
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.95, epsilon=1e-4,
+                                     dtype=self.dtype,
+                                     name=f"bn{idx}")(x)
             if self.dropout_rates is not None:
                 rate = self.dropout_rates[min(idx, len(self.dropout_rates) - 1)]
                 x = nn.Dropout(rate=rate, deterministic=not train)(x)

@@ -257,3 +257,83 @@ def test_pad_view_rows_zero_rows_never_eligible(tmp_path):
     n_real = len(view.users)
     assert (pv.lengths[n_real:] == 0).all()
     np.testing.assert_array_equal(pv.item_hist[:n_real], view.item_hist)
+
+
+def test_masked_bn_matches_batchnorm_when_unpadded():
+    """MaskedBatchNorm with an all-ones weight must reproduce
+    nn.BatchNorm exactly (same variable tree, same normalization, same
+    running-average update)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from clsr_tpu.ops.mlp import MaskedBatchNorm
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(4, 6, 3, 8).astype(np.float32))
+    w = jnp.ones((4, 6, 1, 1))
+    mbn = MaskedBatchNorm(momentum=0.95, epsilon=1e-4)
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.95,
+                      epsilon=1e-4)
+    vm = mbn.init(jax.random.PRNGKey(0), x, w, True)
+    vb = bn.init(jax.random.PRNGKey(0), x)
+    ym, sm = mbn.apply(vm, x, w, True, mutable=["batch_stats"])
+    yb, sb = bn.apply(vb, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ym), np.asarray(yb),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sm["batch_stats"]["mean"]),
+        np.asarray(sb["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sm["batch_stats"]["var"]),
+        np.asarray(sb["batch_stats"]["var"]), rtol=1e-4, atol=1e-5)
+    # eval mode: running-stats affine, weight ignored
+    ye = mbn.apply(vm, x, w * 0.0, False)
+    bn_eval = nn.BatchNorm(use_running_average=True, momentum=0.95,
+                           epsilon=1e-4)
+    yb_e = bn_eval.apply(vb, x)
+    np.testing.assert_allclose(np.asarray(ye), np.asarray(yb_e),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_masked_bn_train_forward_padding_invariant(tmp_path):
+    """With bn_stats_mask on, the TRAIN-mode forward (batch-stat BN)
+    must be padding-proportion invariant: the same rows at bucket
+    padding Lb and at full L produce the same losses.  (This is the
+    property whose absence collapsed the round-5 bucketed quality cell
+    by -14pt: unmasked BN statistics average padded-position
+    activations, so each bucket's compiled program normalized
+    differently.)"""
+    import dataclasses
+    model, cfg, sample, loaders = _setup(tmp_path,
+                                         bn_stats_mask="on")
+    from clsr_tpu.training.state import create_train_state
+    from clsr_tpu.training.steps import make_train_step_fn
+    state = create_train_state(model, cfg, sample)
+    view = loaders["train"].view
+    pads = resolve_bucket_paddings(
+        dataclasses.replace(cfg, length_buckets="8"), view.lengths)
+    buckets = build_resident_buckets(view, pads)
+    full = build_resident(view)
+    step = make_train_step_fn(model, cfg)
+    rng = jax.random.PRNGKey(7)
+    for (res, rows) in buckets:
+        n = min(16, res.n_rows)
+        idx = np.arange(n, dtype=np.int32)
+        valid = np.ones(n, bool)
+        pb = gather_batch(res, idx, valid)
+        fb = gather_batch(full, rows[:n].astype(np.int32), valid)
+        _, parts_b = step(state, pb, rng)
+        _, parts_f = step(state, fb, rng)
+        np.testing.assert_allclose(float(parts_b.loss),
+                                   float(parts_f.loss),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(parts_b.data_loss),
+                                   float(parts_f.data_loss),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bn_stats_mask_validation(tmp_path):
+    import dataclasses
+    _m, cfg, _s, _l = _setup(tmp_path)
+    with pytest.raises(ValueError, match="bn_stats_mask"):
+        dataclasses.replace(cfg, bn_stats_mask="banana").validate()
+    dataclasses.replace(cfg, bn_stats_mask="on").validate()
