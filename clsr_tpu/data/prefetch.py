@@ -5,6 +5,14 @@ feed_dicts (SURVEY.md section 2.4: "Data pipeline parallelism: none").
 Here a background thread assembles host batches and eagerly `device_put`s
 them (optionally with an explicit sharding) so the accelerator never waits
 on the host: while step N runs, batch N+1..N+depth are already in HBM.
+
+Abandonment safety (round 5): a consumer that stops early (early stop,
+an exception, a killed epoch) CLOSES the generator; the producer thread
+is unblocked via a stop flag + queue drain and exits, dropping its
+references.  Without this, every abandoned iterator pinned its epoch's
+stacked arrays behind a forever-blocked q.put — ~2-4 GB per
+early-stopped fit at kuaishou dims, enough to OOM a host over a
+multi-run study (observed: 130 GB RSS after 8 L=250 runs).
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ def prefetch_to_device(batches: Iterable, depth: int = 2,
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list = []
+    stop = threading.Event()
 
     def put(batch):
         if place_fn is not None:
@@ -40,22 +49,43 @@ def prefetch_to_device(batches: Iterable, depth: int = 2,
                 lambda x, s: jax.device_put(x, s), batch, sharding)
         return jax.device_put(batch)
 
+    def enqueue(item) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in batches:
-                q.put(put(batch))
+                if not enqueue(put(batch)):
+                    return
         except BaseException as e:  # propagate into consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            enqueue(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    t.join()
-    if err:
-        raise err[0]
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+    finally:
+        # consumer gone (early stop / exception / GeneratorExit): release
+        # the producer and drop queued references
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -95,3 +95,40 @@ def test_cli_mesh_end_to_end(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "auc" in out and "wauc" in out
+
+
+def test_prefetch_abandoned_consumer_releases_producer():
+    """An early-stopped consumer must not pin the producer (and its epoch
+    arrays) behind a blocked q.put — the round-5 multi-run OOM
+    (data/prefetch.py abandonment safety)."""
+    import gc
+    import threading
+    import time as _time
+    import weakref
+
+    import numpy as np
+
+    from clsr_tpu.data.prefetch import prefetch_to_device
+
+    n_before = threading.active_count()
+    big = [np.zeros(1000) for _ in range(50)]
+    refs = [weakref.ref(b) for b in big]
+
+    def gen():
+        for b in big:
+            yield b
+
+    it = prefetch_to_device(gen(), depth=2)
+    next(it)          # start the producer; it blocks on the full queue
+    it.close()        # abandon mid-stream
+    del it, big, gen
+    for _ in range(100):
+        gc.collect()
+        if (threading.active_count() <= n_before
+                and sum(r() is not None for r in refs) <= 4):
+            break
+        _time.sleep(0.05)
+    # producer exited and dropped its references (a few items may
+    # legitimately linger in flight)
+    assert threading.active_count() <= n_before + 1
+    assert sum(r() is not None for r in refs) <= 6
