@@ -331,6 +331,18 @@ class Config:
                                     # negatives draw from length-
                                     # correlated rows (quality cell:
                                     # docs/RESULTS_r5.md)
+    bn_refresh_batches: int = 64    # length-bucketed path only: number
+                                    # of bucket-INTERLEAVED single
+                                    # batches run forward-only at each
+                                    # epoch end to re-estimate the BN
+                                    # running statistics before eval.
+                                    # The K-step dispatch runs are
+                                    # bucket-homogeneous and longer than
+                                    # the momentum-0.95 EMA horizon
+                                    # (~20 steps), so without this the
+                                    # epoch-end running stats reflect
+                                    # the LAST bucket, not the mixture
+                                    # (docs/RESULTS_r5.md).  0 = off.
     bn_stats_mask: str = "auto"     # 'auto' | 'on' | 'off' — mask-aware
                                     # attention-scorer BN batch stats
                                     # (ops/mlp.py:MaskedBatchNorm):

@@ -527,6 +527,53 @@ def make_mesh_resident_multi_step(model, cfg: Config, mesh, state,
         donate_argnums=(0,))
 
 
+def make_resident_bn_refresh(model, cfg: Config) -> Callable:
+    """Forward-only BN-stat refresh over resident rows:
+    (state, res, idx [B], rng) -> state (only batch_stats changed).
+    The length-bucketed epoch calls this over bucket-interleaved random
+    row samples before eval (training/steps.py:make_bn_refresh_fn)."""
+    from clsr_tpu.training.steps import make_bn_refresh_fn
+
+    raw = make_bn_refresh_fn(model, cfg)
+
+    def step(state, res: ResidentDataset, idx: jnp.ndarray,
+             rng: jax.Array):
+        batch = gather_batch(res, idx, jnp.ones(idx.shape, bool))
+        return raw(state, batch, rng)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_mesh_resident_bn_refresh(model, cfg: Config, mesh, state,
+                                  shard_embeddings: bool = False,
+                                  flat: bool = False) -> Callable:
+    """Mesh twin of make_resident_bn_refresh (sharded gather + forward)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from clsr_tpu.parallel.embedding import use_sharded_tables
+    from clsr_tpu.parallel.mesh import state_sharding
+    from clsr_tpu.parallel.rowmap import resolve_interleaved
+    from clsr_tpu.training.steps import make_bn_refresh_fn
+
+    raw = make_bn_refresh_fn(model, cfg)
+    il = resolve_interleaved(cfg)
+
+    def step(st, res, idx, rng):
+        with use_sharded_tables(mesh if shard_embeddings else None, flat,
+                                il):
+            batch = gather_batch_mesh(mesh, flat, res, idx,
+                                      jnp.ones(idx.shape, bool))
+            return raw(st, batch, rng)
+
+    st_shard = state_sharding(state, mesh, shard_embeddings)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(st_shard, resident_sharding(mesh, flat), rep, rep),
+        out_shardings=st_shard,
+        donate_argnums=(0,))
+
+
 def make_resident_step(model, cfg: Config) -> Callable:
     """Single resident step: (state, res, perm, n_rows, offset, rng)."""
     from clsr_tpu.training.steps import make_train_step_fn

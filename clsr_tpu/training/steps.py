@@ -298,6 +298,36 @@ def stack_batches(batches) -> Batch:
         lambda *xs: np.stack(xs, axis=0), *batches)
 
 
+def make_bn_refresh_fn(model, cfg: Config) -> Callable:
+    """Forward-only BN running-stat refresh: (state, batch, rng) -> state.
+
+    Runs the exact train-mode forward (on-device negative expansion +
+    dropout + batch-stat BN) and keeps ONLY the updated batch_stats —
+    no gradients, no optimizer.  Used by the length-bucketed epoch
+    (trainer._bucketed_epoch) to re-estimate the BN running averages
+    over bucket-INTERLEAVED batches before each eval: the K-step
+    dispatch runs are bucket-homogeneous and longer than the
+    momentum-0.95 EMA horizon, so the raw epoch-end stats reflect the
+    last-visited bucket, not the mixture (docs/RESULTS_r5.md)."""
+    num_ngs = cfg.train_num_ngs
+
+    def step(state: TrainState, batch: Batch, rng: jax.Array):
+        rng_samp, rng_drop = jax.random.split(rng)
+        if cfg.need_sample and num_ngs > 0:
+            batch = expand_with_negatives(rng_samp, batch, num_ngs)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        _, mutated = state.apply_fn(
+            variables, batch, train=True, rngs={"dropout": rng_drop},
+            mutable=["batch_stats"])
+        stats = mutated.get("batch_stats", state.batch_stats)
+        if not stats:
+            stats = state.batch_stats
+        return state.replace(batch_stats=stats)
+
+    return step
+
+
 def make_eval_step_fn(model, cfg: Config,
                       allow_pallas: Optional[bool] = None) -> Callable:
     """The raw (unjitted) eval step: (state, batch) -> (preds, alpha).

@@ -133,6 +133,7 @@ class Trainer:
         # local row ids — built lazily alongside _resident
         self._buckets = None
         self._bucket_elig = None
+        self._bn_refresh = None
 
     # ------------------------------------------------------------------
     def _use_resident(self, train_loader: SequenceLoader) -> bool:
@@ -363,6 +364,41 @@ class Trainer:
                 self.summary.scalars(
                     step, {"loss": loss_avg, "data_loss": dl_avg})
                 self._maybe_histograms(step)
+
+        # BN running-stat recalibration before eval: the K-step dispatch
+        # runs are bucket-homogeneous and longer than the momentum-0.95
+        # EMA horizon (~20 steps), so the raw epoch-end running stats
+        # reflect the LAST-visited bucket's activation distribution, not
+        # the mixture eval needs (measured -12 to -14pt GAUC without
+        # this — docs/RESULTS_r5.md).  ~bn_refresh_batches forward-only
+        # single batches, round-robin across buckets, re-estimate them
+        # at ~0.1s/epoch.
+        if (len(self._buckets) > 1 and cfg.bn_refresh_batches > 0
+                and self.state.batch_stats):
+            if self._bn_refresh is None:
+                from clsr_tpu.data.resident import (
+                    make_mesh_resident_bn_refresh, make_resident_bn_refresh)
+                if self._mesh is not None:
+                    self._bn_refresh = make_mesh_resident_bn_refresh(
+                        self.model, cfg, self._mesh, self.state,
+                        self._shard_emb, self._flat_batch)
+                else:
+                    self._bn_refresh = make_resident_bn_refresh(
+                        self.model, cfg)
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                place = lambda a: jax.device_put(
+                    a, NamedSharding(self._mesh, P()))
+            else:
+                place = jax.device_put
+            for r in range(cfg.bn_refresh_batches):
+                bi = r % len(self._buckets)
+                elig = self._bucket_elig[bi]
+                idx = np_rng.choice(elig, size=B).astype(np.int32)
+                rng, sub = jax.random.split(rng)
+                self.state = self._bn_refresh(
+                    self.state, self._buckets[bi][0], place(idx), sub)
+
         epoch_loss = float(total) if total is not None else 0.0
         return rng, n_steps, epoch_loss
 
