@@ -575,8 +575,19 @@ def make_mesh_resident_bn_refresh(model, cfg: Config, mesh, state,
 
 
 def make_resident_step(model, cfg: Config) -> Callable:
-    """Single resident step: (state, res, perm, n_rows, offset, rng)."""
-    from clsr_tpu.training.steps import make_train_step_fn
+    """Single resident step: (state, res, perm, n_rows, offset, rng).
+
+    sync_params_from_opt at the jit boundary is LOAD-BEARING: under the
+    LazyAdam pmn fused-table layout the compact step updates only the
+    [N, 3D] param|mu|nu rows in opt_state.moments and leaves the
+    params-tree tables stale — without the boundary sync, eval /
+    checkpoint / serving silently observe the INITIAL embeddings.
+    (Round-5 forensics: every resident-path fit quality-capped at
+    frozen-embedding level, -11pt GAUC on the bimodal cell, while the
+    loss trajectory — computed in moments space — looked perfectly
+    healthy.  The mesh builders always had the sync; these did not.)"""
+    from clsr_tpu.training.steps import (make_train_step_fn,
+                                         sync_params_from_opt)
 
     raw = make_train_step_fn(model, cfg)
     B = cfg.batch_size
@@ -586,7 +597,8 @@ def make_resident_step(model, cfg: Config) -> Callable:
         idx = jax.lax.dynamic_slice(perm, (offset,), (B,))
         valid = (offset + jnp.arange(B)) < n_rows
         batch = gather_batch(res, idx, valid)
-        return raw(state, batch, rng)
+        state, parts = raw(state, batch, rng)
+        return sync_params_from_opt(state), parts
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -598,8 +610,15 @@ def make_resident_multi_step(model, cfg: Config,
     multi(state, res, perm, n_rows, offset, rng) -> (state, LossParts[K]).
     `offset` is the flat row offset of the call's first batch; step k uses
     rows [offset + k*B, offset + (k+1)*B).
+
+    The boundary sync_params_from_opt (once per K-step call, a ~15MB
+    contiguous slice-copy at Taobao dims — negligible) keeps the
+    params-tree tables fresh for eval/checkpoint under the pmn fused
+    layout; see make_resident_step for the round-5 staleness bug it
+    closes.
     """
-    from clsr_tpu.training.steps import make_train_step_fn
+    from clsr_tpu.training.steps import (make_train_step_fn,
+                                         sync_params_from_opt)
 
     raw = make_train_step_fn(model, cfg)
     B = cfg.batch_size
@@ -613,6 +632,8 @@ def make_resident_multi_step(model, cfg: Config,
             batch = gather_batch(res, idx, valid)
             return raw(st, batch, jax.random.fold_in(rng, k))
 
-        return jax.lax.scan(body, state, jnp.arange(steps_per_call))
+        state, parts = jax.lax.scan(body, state,
+                                    jnp.arange(steps_per_call))
+        return sync_params_from_opt(state), parts
 
     return jax.jit(multi, donate_argnums=(0,))

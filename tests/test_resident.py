@@ -126,3 +126,52 @@ def test_epoch_permutation_drop_and_pad():
                                                  16, 2)
     assert (n, n_calls, n_tail) == (40, 1, 1)
     assert len(perm) == 48  # padded to whole batches
+
+
+def test_resident_matches_streaming_lazyadam_pmn(dataset):
+    """The round-5 staleness regression: under lazyadam's pmn fused
+    layout the live tables ride in opt_state.moments and the resident
+    step builders MUST sync them back into state.params at the jit
+    boundary — without it, eval/checkpoint observe frozen initial
+    embeddings while the loss trajectory looks healthy (-11pt GAUC on
+    the round-5 bimodal cell).  The original differential used the
+    default optimizer, where no pmn layout exists, and missed it."""
+    ts = _run(_cfg(resident_data="off", optimizer="lazyadam",
+                   model_type="clsr", user_embedding_dim=12,
+                   item_embedding_dim=8, cate_embedding_dim=4,
+                   hidden_size=12, att_fcn_layer_sizes=(8,),
+                   contrastive_length_threshold=1), dataset)
+    tr = _run(_cfg(resident_data="on", optimizer="lazyadam",
+                   model_type="clsr", user_embedding_dim=12,
+                   item_embedding_dim=8, cate_embedding_dim=4,
+                   hidden_size=12, att_fcn_layer_sizes=(8,),
+                   contrastive_length_threshold=1), dataset)
+    assert tr._resident is not None and ts._resident is None
+    import flax.traverse_util as tu
+    fs = tu.flatten_dict(jax.device_get(ts.state.params))
+    fr = tu.flatten_dict(jax.device_get(tr.state.params))
+    # the embedding tables must have TRAINED (non-initial) and agree
+    for p in fs:
+        if not str(p[-1]).endswith("_embedding"):
+            continue
+        np.testing.assert_allclose(fs[p], fr[p], rtol=2e-3, atol=2e-3,
+                                   err_msg=str(p))
+    # and the resident-path tables must differ from a fresh init (the
+    # staleness signature was bitwise-frozen tables)
+    model = get_model_class("clsr")(
+        cfg=_cfg(optimizer="lazyadam", model_type="clsr",
+                 user_embedding_dim=12, item_embedding_dim=8,
+                 cate_embedding_dim=4, hidden_size=12,
+                 att_fcn_layer_sizes=(8,),
+                 contrastive_length_threshold=1),
+        n_users=dataset[2][0], n_items=dataset[2][1],
+        n_cates=dataset[2][2])
+    from clsr_tpu.training.state import create_train_state
+    tl = SequenceLoader(dataset[0], 10)
+    init = create_train_state(
+        model, tr.cfg, next(tl.train_batches(16, np.random.RandomState(0))))
+    fi = tu.flatten_dict(jax.device_get(init.params))
+    changed = [p for p in fr
+               if str(p[-1]).endswith("_embedding")
+               and not np.array_equal(fi[p], fr[p])]
+    assert changed, "resident-path embedding tables are frozen (stale)"
