@@ -231,12 +231,24 @@ class SequenceLoader:
 
     # --------------------------------------------------------------- eval
     def eval_batches(self, group_size: int, batch_groups: int,
-                     min_seq_length: int = 1) -> Iterator[Batch]:
+                     min_seq_length: int = 1,
+                     paddings: Optional[list] = None) -> Iterator[Batch]:
         """Grouped eval batches: one row per (1 pos + num_ngs neg) group.
 
         File rows must arrive in whole groups of `group_size` with identical
         user/history inside each group (the offline sampler's layout).  With
         group_size == 1 every row is its own group (the predict path).
+
+        `paddings` (ascending bucket paddings, see
+        data/resident.py:resolve_bucket_paddings) turns on length-bucketed
+        eval: groups are partitioned by the ANCHOR row's history length
+        (the group's negatives share the anchor's history by the offline
+        sampler's construction, sequential_reviews.py:147-199) and each
+        bucket's batches carry only its Lb history columns — one compiled
+        eval program per Lb, same grouped metrics (the metric assembly is
+        order-invariant across groups).  Strict bucket boundaries keep
+        column Lb-1 padding, preserving the reference's padded
+        time_to_now[:, -1] fusion input (clsr.py:239-248).
         """
         v = self.view
         n_rows = len(v.labels)
@@ -248,16 +260,30 @@ class SequenceLoader:
         anchors = np.arange(0, n_rows, group_size)
         if min_seq_length > 1:
             anchors = anchors[v.lengths[anchors] >= min_seq_length]
+        if paddings:
+            from clsr_tpu.data.resident import bucket_rows
+            L = v.item_hist.shape[1]
+            for Lb, local in bucket_rows(v.lengths[anchors], L, paddings):
+                sub = anchors[local]
+                for lo in range(0, len(sub), batch_groups):
+                    take = sub[lo:lo + batch_groups]
+                    yield self._make_batch(take, batch_groups,
+                                           group=group_size,
+                                           Lb=None if Lb == L else Lb)
+            return
         for lo in range(0, len(anchors), batch_groups):
             take = anchors[lo:lo + batch_groups]
             yield self._make_batch(take, batch_groups, group=group_size)
 
     # ------------------------------------------------------------ helpers
     def _make_batch(self, row_idx: np.ndarray, target_rows: int,
-                    group: Optional[int]) -> Batch:
+                    group: Optional[int], Lb: Optional[int] = None) -> Batch:
+        """`Lb` column-slices the history fields to a bucket padding
+        (rows must all have clamped length <= Lb - 1; see eval_batches)."""
         v = self.view
         n = len(row_idx)
         G = 1 if group is None else group
+        cols = slice(None) if Lb is None else slice(0, Lb)
 
         def pad(arr):
             if n == target_rows:
@@ -284,11 +310,11 @@ class SequenceLoader:
             items=pad(items),
             cates=pad(cates),
             labels=pad(labels.astype(np.float32)),
-            item_hist=pad(v.item_hist[row_idx]),
-            cate_hist=pad(v.cate_hist[row_idx]),
-            mask=pad(v.mask[row_idx]),
-            time_diff=pad(v.time_diff[row_idx]),
-            time_from_first=pad(v.time_from_first[row_idx]),
-            time_to_now=pad(v.time_to_now[row_idx]),
+            item_hist=pad(v.item_hist[row_idx][:, cols]),
+            cate_hist=pad(v.cate_hist[row_idx][:, cols]),
+            mask=pad(v.mask[row_idx][:, cols]),
+            time_diff=pad(v.time_diff[row_idx][:, cols]),
+            time_from_first=pad(v.time_from_first[row_idx][:, cols]),
+            time_to_now=pad(v.time_to_now[row_idx][:, cols]),
             valid=valid,
         )

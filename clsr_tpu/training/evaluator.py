@@ -31,13 +31,28 @@ def run_weighted_eval(eval_step: Callable, state, loader: SequenceLoader,
     if batch_groups is None:
         batch_groups = max(1, cfg.batch_size // group)
 
+    # Length-bucketed eval (cfg.length_buckets, round 5): groups are
+    # bucketed by the anchor's history length and scored by per-Lb
+    # compiled programs — the same ~78% padding-iteration saving as
+    # bucketed training (docs/mask_density.jsonl), with NO quality
+    # caveat: eval-mode BN uses running statistics and the metric
+    # assembly below is order-invariant across groups.
+    paddings = None
+    if getattr(cfg, "length_buckets", "off") != "off":
+        from clsr_tpu.data.resident import resolve_bucket_paddings
+        n_rows = len(loader.view.labels)
+        anchors = np.arange(0, n_rows, group)
+        paddings = resolve_bucket_paddings(
+            cfg, loader.view.lengths[anchors]) or None
+
     # Phase 1: dispatch all eval steps, keeping predictions ON DEVICE —
     # device->host reads inside the loop would serialize on transfer
     # latency (severe through remote-attached chips).
     pending = []
     for batch in loader.eval_batches(group_size=group,
                                      batch_groups=batch_groups,
-                                     min_seq_length=cfg.min_seq_length):
+                                     min_seq_length=cfg.min_seq_length,
+                                     paddings=paddings):
         preds, alpha = eval_step(state, batch)
         nv = int(batch.valid.sum())
         pending.append((batch, preds, alpha, nv))

@@ -175,6 +175,40 @@ def test_bucketed_forward_equals_full_L(tmp_path):
         np.testing.assert_allclose(alpha_b, alpha_f, rtol=0, atol=1e-6)
 
 
+def test_bucketed_eval_metrics_match_flat(tmp_path):
+    """Length-bucketed eval (evaluator.run_weighted_eval under
+    cfg.length_buckets) must reproduce the flat eval EXACTLY: groups are
+    only reordered across buckets (the metric assembly is
+    order-invariant) and the per-group forward is padding-invariant
+    (test_bucketed_forward_equals_full_L)."""
+    import dataclasses
+
+    from clsr_tpu.training.evaluator import run_weighted_eval
+    from clsr_tpu.training.state import create_train_state
+    from clsr_tpu.training.steps import make_eval_step_fn
+
+    model, cfg, sample, loaders = _setup(tmp_path)
+    state = create_train_state(model, cfg, sample)
+    step = make_eval_step_fn(model, cfg)
+
+    flat = run_weighted_eval(step, state, loaders["valid"], cfg,
+                             num_ngs=cfg.valid_num_ngs,
+                             calc_mean_alpha=True)
+    bucketed = run_weighted_eval(
+        step, state, loaders["valid"],
+        dataclasses.replace(cfg, length_buckets="8"),
+        num_ngs=cfg.valid_num_ngs, calc_mean_alpha=True)
+    assert bucketed == flat
+
+    # the bucketed pass really ran truncated batches (at least one
+    # bucket below L must exist on this short-skewed synthetic data)
+    v = loaders["valid"].view
+    anchors = np.arange(0, len(v.labels), cfg.valid_num_ngs + 1)
+    pads = resolve_bucket_paddings(
+        dataclasses.replace(cfg, length_buckets="8"), v.lengths[anchors])
+    assert pads and pads[0] < cfg.max_seq_length
+
+
 def test_bucketed_fit_e2e(tmp_path):
     model, cfg, sample, loaders = _setup(
         tmp_path, length_buckets="8", resident_round_rows=64)
